@@ -1,0 +1,312 @@
+"""Typed configuration system.
+
+The reference has no config system at all — every knob is a hard-coded literal
+(SURVEY.md §5 "Config / flag system": e.g. config dict at
+``minicausal_vad_complete3.py:516-526``, loss weights as attributes at
+``avenue_training_script2.py:122-125``, magic resize/threshold constants
+inline).  Here every one of those constants becomes a named, typed field, and
+each entry point takes exactly one config object.  Configs are plain frozen
+dataclasses so they hash (usable as jit static args) and serialize to JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence, Tuple
+
+
+def _asdict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
+        return {f.name: _asdict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [_asdict(v) for v in cfg]
+    return cfg
+
+
+class _Base:
+    """JSON round-trip + `replace` for all configs."""
+
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            sub = f.type if isinstance(f.type, type) else None
+            if dataclasses.is_dataclass(sub) and isinstance(v, Mapping):
+                v = sub.from_dict(v)  # type: ignore[union-attr]
+            elif isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)  # type: ignore[call-arg]
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Data
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig(_Base):
+    """Clip-windowing / decode parameters.
+
+    Defaults mirror the checkpoint-producing Avenue pipeline: 8-frame RGB
+    clips at 64x64 (``avenue_training_script2.py:357-365`` call-site contract
+    for the missing ``create_avenue_dataloaders`` module, SURVEY.md §2.1).
+    """
+
+    dataset: str = "synthetic"  # synthetic | avenue | ucsd_ped2 | ucsd_ped2_simple
+    root: str = ""
+    clip_len: int = 8
+    frame_size: Tuple[int, int] = (64, 64)  # (H, W)
+    channels: int = 3
+    stride: int = 4  # reference: seq_len//2, //4, or 4 depending on variant
+    max_clips_per_video: int = 0  # 0 = unlimited (minicausal_vad_complete3.py:156-174)
+    grayscale: bool = False
+    normalize_clamp: Tuple[float, float] = (0.0, 1.0)  # family B used (0.001, 0.999)
+    # Synthetic-label policy name; these are observable reference behavior
+    # (SURVEY.md §4 "Synthetic data in place of fixtures").
+    label_policy: str = "none"  # none | heuristic_v1 | hardcoded_v2 | split_binary | mixed_simple
+    batch_size: int = 32
+    shuffle_buffer: int = 2048
+    prefetch: int = 2
+    num_decode_threads: int = 4
+    decode_backend: str = "auto"  # auto | native | pil | cv2 | npy
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Models
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FamilyDConfig(_Base):
+    """Flagship Avenue causal model (checkpoint parity anchor).
+
+    Shapes per ``avenue_training_script2.py:15-101``: 3D CNN 3->16->32->64,
+    adaptive pool (4,4,4), 16 causal variables, 16x16 adjacency, 128-hidden
+    graph encoder -> 64, predictor 80->32->1 sigmoid.
+    """
+
+    name: str = "family_d"
+    in_channels: int = 3
+    causal_dim: int = 16
+    hidden_dim: int = 128
+    graph_embed_dim: int = 64
+    causal_hidden: int = 32
+    dropout: float = 0.3
+    pool_out: Tuple[int, int, int] = (4, 4, 4)
+    conv_channels: Tuple[int, int, int] = (16, 32, 64)
+
+
+@dataclass(frozen=True)
+class FamilyCConfig(_Base):
+    """Minimal stable 3D-CNN classifier (``minicausal_vad_complete3.py:25-102``)."""
+
+    name: str = "family_c"
+    in_channels: int = 1
+    conv_channels: Tuple[int, int, int] = (8, 16, 32)
+    mlp_dims: Tuple[int, int] = (16, 8)
+    dropout: float = 0.3
+
+
+@dataclass(frozen=True)
+class FamilyBConfig(_Base):
+    """Memory-bank video autoencoder (``causal_anomaly_detection1.py:124-321``)."""
+
+    name: str = "family_b"
+    in_channels: int = 1
+    latent_dim: int = 64
+    conv_channels: Tuple[int, int, int, int] = (32, 64, 128, 128)
+    memory_size: int = 500
+    memory_min_fill: int = 10
+    lstm_hidden: int = 64
+    leaky_slope: float = 0.1
+
+
+@dataclass(frozen=True)
+class FamilyAConfig(_Base):
+    """12-stage causal pipeline (``causal_anomaly_detection.py:508-586``),
+    redesigned with fixed-shape masked ops (SURVEY.md §7a)."""
+
+    name: str = "family_a"
+    frame_hw: Tuple[int, int] = (240, 360)  # reference resizes to 360x240 (W,H)
+    backbone_channels: Tuple[int, int, int, int, int] = (32, 32, 64, 128, 256)
+    backbone_pool: Tuple[int, int] = (4, 6)
+    max_boxes: int = 5  # fixed-K masked detector instead of ragged lists
+    num_factors: int = 6
+    reid_dim: int = 64
+    gru_hidden: int = 64
+    traj_latent: int = 32
+    direct_variant: bool = True  # enhanced version w/ direct classifier + 0.6/0.4 blend
+    anchor_variant: bool = False  # earlier video_anomaly_detection.py detector head
+    score_blend: Tuple[float, float] = (0.6, 0.4)  # causal vs direct (:574)
+    scorer_blend: Tuple[float, float, float] = (0.5, 0.3, 0.2)  # causal/motion/temporal (:497)
+
+
+@dataclass(frozen=True)
+class FamilyEConfig(_Base):
+    """Bbox-visualization stand-in model (``avenue_training_script_bbox.py:51-101``)."""
+
+    name: str = "family_e"
+    in_channels: int = 3
+    conv_channels: Tuple[int, int] = (32, 64)
+    causal_dim: int = 16
+    hidden: int = 256
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LossConfig(_Base):
+    """Multi-objective loss weights.
+
+    Defaults = family-D recipe (``avenue_training_script2.py:122-125,135-205``):
+    focal anomaly 1.0, acyclicity 0.01, sparsity 0.001, consistency 0.01,
+    structure 0.01; focal alpha/gamma 0.25/2.0; pseudo-label anomaly rate 5%;
+    sparsity target 0.3 at edge threshold 0.1; structure band [10, 40] edges.
+    """
+
+    anomaly_weight: float = 1.0
+    causal_weight: float = 0.01
+    sparsity_weight: float = 0.001
+    consistency_weight: float = 0.01
+    structure_weight: float = 0.01
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    pseudo_anomaly_rate: float = 0.05
+    edge_threshold: float = 0.1
+    target_sparsity: float = 0.3
+    consistency_target: float = 0.1
+    min_edges: int = 10
+    max_edges: int = 40
+    # family A (causal_anomaly_detection.py:661-662): 0.4 CE + 0.3 score MSE +
+    # 0.2 causal-score MSE + 0.1 KL
+    a_ce: float = 0.4
+    a_score_mse: float = 0.3
+    a_causal_mse: float = 0.2
+    a_kl: float = 0.1
+    # family B reconstruction loss fallback chain handled in ops.losses
+    b_recon_weight: float = 1.0
+    # combined inference score (causal_anomaly_detection1.py:552)
+    b_score_recon: float = 0.7
+    b_score_memory: float = 0.3
+
+
+@dataclass(frozen=True)
+class OptimConfig(_Base):
+    """Optimizer + schedule. Defaults = family-D AdamW recipe
+    (``avenue_training_script2.py:115-130``)."""
+
+    optimizer: str = "adamw"  # adamw | adam
+    lr: float = 5e-4
+    weight_decay: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.999
+    grad_clip: float = 0.5  # family D clip (:236); A=1.0, B=0.1, C=1.0/10.0
+    schedule: str = "plateau"  # plateau | cosine | step | constant
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    cosine_steps: int = 0
+    step_size: int = 15
+    step_gamma: float = 0.7
+
+
+@dataclass(frozen=True)
+class ParallelConfig(_Base):
+    """Mesh layout. The reference is single-device (SURVEY.md §2.9); this is
+    the TPU-native addition: DP over clips, optional temporal sharding."""
+
+    data_axis: int = 0  # 0 = use all devices on 'data'
+    temporal_axis: int = 1  # >1 shards clip T dim with halo exchange
+    mesh_axis_names: Tuple[str, ...] = ("data", "time")
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Base):
+    num_epochs: int = 80
+    eval_every: int = 5  # reference evals every 5 epochs (avenue_training_script2.py:424)
+    save_interval: int = 10
+    log_every: int = 20  # batch debug print cadence (:246)
+    seed: int = 0
+    dtype: str = "float32"  # float32 | bfloat16 compute
+    nan_guard: bool = True  # skip non-finite updates (reference NaN-skip behavior)
+    normal_only: bool = False  # family B trains on normal samples only (:374-378)
+    best_metric: str = "score_range"  # best-model criterion varies per family (SURVEY.md §5)
+    best_mode: str = "max"
+    out_dir: str = "results"
+    history_name: str = "improved_training_history.json"
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig(_Base):
+    """One config per entry point (replaces each reference script's inline knobs)."""
+
+    model: Any = field(default_factory=FamilyDConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# Canonical presets mirroring the five reference entry scripts -----------------
+
+
+def preset(name: str) -> ExperimentConfig:
+    """Named presets, one per reference entry point (BASELINE.json configs)."""
+    if name in ("avenue_improved", "family_d", "avenue_training_script2"):
+        return ExperimentConfig()
+    if name in ("mini3d", "family_c", "minicausal_vad_complete3"):
+        return ExperimentConfig(
+            model=FamilyCConfig(),
+            data=DataConfig(channels=1, grayscale=True, label_policy="mixed_simple",
+                            stride=4, max_clips_per_video=50, batch_size=8),
+            optim=OptimConfig(optimizer="adam", lr=1e-3, weight_decay=0.0,
+                              schedule="step", step_size=15, step_gamma=0.7,
+                              grad_clip=1.0),
+            train=TrainConfig(num_epochs=40, best_metric="auc", best_mode="max",
+                              eval_every=1),
+        )
+    if name in ("memory_ae", "family_b", "causal_anomaly_detection1"):
+        return ExperimentConfig(
+            model=FamilyBConfig(),
+            data=DataConfig(channels=1, grayscale=True, clip_len=8, stride=2,
+                            normalize_clamp=(0.001, 0.999), batch_size=4,
+                            label_policy="hardcoded_v2"),
+            optim=OptimConfig(optimizer="adam", lr=1e-6, weight_decay=0.0,
+                              schedule="plateau", grad_clip=0.1),
+            train=TrainConfig(num_epochs=50, normal_only=True,
+                              best_metric="val_loss", best_mode="min", eval_every=1),
+        )
+    if name in ("causal_pipeline", "family_a", "causal_anomaly_detection"):
+        return ExperimentConfig(
+            model=FamilyAConfig(),
+            data=DataConfig(channels=1, grayscale=True, clip_len=16, stride=8,
+                            frame_size=(240, 360), label_policy="heuristic_v1",
+                            batch_size=4),
+            optim=OptimConfig(optimizer="adamw", lr=1e-4, weight_decay=1e-2,
+                              schedule="cosine", grad_clip=1.0),
+            train=TrainConfig(num_epochs=20, best_metric="val_acc", best_mode="max",
+                              eval_every=1),
+        )
+    if name in ("bbox_viz", "family_e", "avenue_training_script_bbox"):
+        return ExperimentConfig(model=FamilyEConfig())
+    raise KeyError(f"unknown preset: {name!r}")

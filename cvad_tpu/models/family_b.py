@@ -1,0 +1,181 @@
+"""Family B — memory-bank video autoencoder.
+
+TPU-native rebuild of ``causal_anomaly_detection1.py:124-321``
+(``VideoAutoEncoder``): per-frame conv encoder to a 64-d tanh latent, LSTM
+temporal encoder over the frame latents, a conv-transpose decoder re-rendering
+frames from the sequence feature, and a 500-slot ring-buffer memory bank of
+normal patterns scored by min cosine distance.
+
+TPU-first redesign (SURVEY.md §3.3 note, §7 step 6):
+
+- The reference encodes/decodes frames in Python loops
+  (``:227-231``, ``:253-257``); here time folds into the batch for the encoder
+  (one big conv over (B*T, H, W, C) — MXU-friendly) and the decoder runs
+  **once** (the reference decodes the same sequence feature T times, producing
+  T identical frames; one decode + broadcast is mathematically identical).
+- The LSTM is a `flax` LSTMCell driven by `lax.scan` instead of cuDNN.
+- The memory bank is **explicit functional state** (`MemoryBankState`)
+  threaded through the jitted train step — the reference mutates registered
+  buffers in-place (``:201-219``), which cannot exist under jit.  The
+  reference's `memory_ptr` doubles as its fill counter, so its effective
+  memory shrinks after wraparound; we track `fill` separately (capability
+  superset, noted for the parity record).
+- Min-cosine-distance scoring (``:262-301``) is a single (B, M) matmul with a
+  fill mask; `cvad_tpu.ops.memory_bank` provides a Pallas kernel for large M.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cvad_tpu.config import FamilyBConfig
+from cvad_tpu.models.layers import ConvTranspose3dTorch  # noqa: F401  (2D path below)
+
+
+class MemoryBankState(NamedTuple):
+    """Functional ring buffer of normal-pattern latents."""
+
+    memory: jnp.ndarray  # (M, D)
+    ptr: jnp.ndarray  # () int32 — next write slot
+    fill: jnp.ndarray  # () int32 — number of valid slots (<= M)
+
+
+def init_memory(size: int, dim: int, dtype=jnp.float32) -> MemoryBankState:
+    return MemoryBankState(
+        memory=jnp.zeros((size, dim), dtype),
+        ptr=jnp.zeros((), jnp.int32),
+        fill=jnp.zeros((), jnp.int32),
+    )
+
+
+def update_memory(state: MemoryBankState, feats: jnp.ndarray) -> MemoryBankState:
+    """FIFO write with wraparound (reference ``update_memory`` ``:201-219``),
+    as a pure scatter so it jits and donates."""
+    m = state.memory.shape[0]
+    b = feats.shape[0]
+    idx = (state.ptr + jnp.arange(b, dtype=jnp.int32)) % m
+    memory = state.memory.at[idx].set(jax.lax.stop_gradient(feats.astype(state.memory.dtype)))
+    ptr = (state.ptr + b) % m
+    fill = jnp.minimum(state.fill + b, m)
+    return MemoryBankState(memory, ptr, fill)
+
+
+def memory_anomaly_score(state: MemoryBankState, feats: jnp.ndarray,
+                         min_fill: int = 10) -> jnp.ndarray:
+    """Min cosine distance to populated memory, scaled to [0, 1]
+    (reference ``compute_anomaly_score`` ``:262-301``): L2-normalize both
+    sides, similarities clamped to [-1, 1], distance = 1 - sim, min over
+    memory, clamp [0, 2], /2.  Returns zeros until `min_fill` slots exist."""
+    eps = 1e-8
+    q = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), eps)
+    mem = state.memory / jnp.maximum(
+        jnp.linalg.norm(state.memory, axis=-1, keepdims=True), eps)
+    sims = jnp.clip(q @ mem.T, -1.0, 1.0)  # (B, M)
+    valid = jnp.arange(mem.shape[0]) < state.fill
+    dists = jnp.where(valid[None, :], 1.0 - sims, jnp.inf)
+    score = jnp.clip(jnp.min(dists, axis=1), 0.0, 2.0) / 2.0
+    return jnp.where(state.fill >= min_fill, score, jnp.zeros_like(score))
+
+
+class _FrameEncoder(nn.Module):
+    """64x64 frame -> latent (reference encoder ``:129-153``)."""
+
+    cfg: FamilyBConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        for i, c in enumerate(self.cfg.conv_channels):
+            x = nn.Conv(c, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn_{i}")(x)
+            x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
+        # channel-major flatten to mirror torch nn.Flatten on (B, 128, 4, 4)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        return nn.tanh(nn.Dense(self.cfg.latent_dim, name="fc")(x))
+
+
+class _FrameDecoder(nn.Module):
+    """latent -> 64x64 frame (reference decoder ``:156-179``)."""
+
+    cfg: FamilyBConfig
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        ch = self.cfg.conv_channels  # (32, 64, 128, 128)
+        x = nn.leaky_relu(nn.Dense(ch[-1] * 4 * 4, name="fc")(z),
+                          negative_slope=self.cfg.leaky_slope)
+        x = x.reshape(x.shape[0], ch[-1], 4, 4)  # torch Unflatten (C, H, W)
+        x = jnp.transpose(x, (0, 2, 3, 1))  # -> (B, 4, 4, C)
+        outs = (ch[2], ch[1], ch[0])
+        for i, c in enumerate(outs):
+            x = nn.ConvTranspose(c, (4, 4), strides=(2, 2),
+                                 padding=[(2, 2), (2, 2)], transpose_kernel=True,
+                                 name=f"deconv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn_{i}")(x)
+            x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
+        x = nn.ConvTranspose(self.cfg.in_channels, (4, 4), strides=(2, 2),
+                             padding=[(2, 2), (2, 2)], transpose_kernel=True,
+                             name="deconv_out")(x)
+        return nn.sigmoid(x)
+
+
+class MemoryVideoAutoEncoder(nn.Module):
+    """Clip (B, T, H, W, C) -> dict of reconstruction/features/scores.
+
+    Memory state is passed in and scored against; updating it is the train
+    step's job (`update_memory`), keeping this module pure.
+    """
+
+    cfg: FamilyBConfig = FamilyBConfig()
+
+    def setup(self):
+        self.encoder = _FrameEncoder(self.cfg)
+        self.decoder = _FrameDecoder(self.cfg)
+        self.lstm = nn.OptimizedLSTMCell(features=self.cfg.lstm_hidden)
+
+    def encode_sequence(self, frames: jnp.ndarray, *, train: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, T, H, W, C) -> (sequence_feature (B, D), frame_features (B, T, D)).
+
+        Reference ``encode_sequence`` ``:221-246``: per-frame encode then LSTM,
+        final hidden state is the sequence feature.  Time folds into batch for
+        the encoder; the LSTM runs as a `scan` over T.
+        """
+        b, t = frames.shape[0], frames.shape[1]
+        flat = frames.reshape((b * t,) + frames.shape[2:])
+        z = self.encoder(flat, train=train).reshape(b, t, -1)
+
+        carry = self.lstm.initialize_carry(jax.random.key(0), z[:, 0].shape)
+        scan = nn.scan(
+            lambda cell, c, x: cell(c, x),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1, out_axes=1,
+        )
+        (c_n, h_n), _ = scan(self.lstm, carry, z)
+        return h_n, z
+
+    def decode_sequence(self, seq_feature: jnp.ndarray, t: int, *,
+                        train: bool = False) -> jnp.ndarray:
+        """One decode, broadcast over T (identical to the reference's T
+        redundant decodes of the same feature, ``:248-260``)."""
+        frame = self.decoder(seq_feature, train=train)  # (B, H, W, C)
+        return jnp.broadcast_to(frame[:, None], (frame.shape[0], t) + frame.shape[1:])
+
+    def __call__(self, frames: jnp.ndarray, memory: MemoryBankState, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        seq, per_frame = self.encode_sequence(frames, train=train)
+        recon = self.decode_sequence(seq, frames.shape[1], train=train)
+        score = memory_anomaly_score(memory, seq, self.cfg.memory_min_fill)
+        return {
+            "reconstructed": recon,
+            "sequence_feature": seq,
+            "frame_features": per_frame,
+            "anomaly_score": score,
+        }

@@ -1,0 +1,46 @@
+"""Family C — minimal stable 3D-CNN anomaly classifier.
+
+TPU-native rebuild of ``minicausal_vad_complete3.py:25-102``
+(``SimpleVideoAnomalyDetector``): three Conv3d+BN+ReLU+MaxPool blocks
+(1->8->16->32, temporal pooling from block 2), global average pool, and a
+dropout MLP classifier 32->16->8->1 with sigmoid.
+
+Channels-last (B, T, H, W, C) input; BN running stats live in the standard
+flax 'batch_stats' collection (the torch model's running_mean/var import into
+it via the checkpoint converter).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvad_tpu.config import FamilyCConfig
+from cvad_tpu.models.layers import Conv3dTorch, max_pool3d
+
+
+class Simple3DCNNDetector(nn.Module):
+    """Clip (B, 8, 64, 64, 1) -> anomaly score (B, 1) in [0, 1]."""
+
+    cfg: FamilyCConfig = FamilyCConfig()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c1, c2, c3 = self.cfg.conv_channels
+        pools = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]  # minicausal_vad_complete3.py:41,47,53
+        for i, (c, pool) in enumerate(zip((c1, c2, c3), pools)):
+            x = Conv3dTorch(c, name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn_{i}")(x)
+            x = nn.relu(x)
+            x = max_pool3d(x, pool)
+        x = x.mean(axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1)) + flatten (:56,96-97)
+
+        m1, m2 = self.cfg.mlp_dims
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(m1, name="cls_1")(x))
+        x = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(m2, name="cls_4")(x))
+        x = nn.sigmoid(nn.Dense(1, name="cls_6")(x))
+        return x

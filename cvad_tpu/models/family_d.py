@@ -1,0 +1,105 @@
+"""Family D — flagship Avenue causal anomaly detector (parity anchor).
+
+TPU-native rebuild of the checkpoint-producing model in
+``avenue_training_script2.py:15-101`` (``CompactFeatureExtractor`` +
+``DifferentiableCausalDiscovery`` + ``CausalAnomalyDetector``): a 3D-CNN clip
+encoder produces 16 "causal variables", a NOTEARS-inspired head predicts a
+per-sample 16x16 adjacency, a graph encoder embeds the flattened adjacency,
+and a predictor scores cat[features, graph-embedding].
+
+Differences from the reference are layout-only: channels-last ``(B,T,H,W,C)``
+inputs, and the pooled feature map is transposed to channel-major before
+flattening so imported torch ``fc`` weights apply unchanged.  Weights from
+``best_improved_model.pth`` load via
+``cvad_tpu.runtime.checkpoint.import_torch_family_d`` and reproduce reference
+scores (see tests/test_torch_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvad_tpu.config import FamilyDConfig
+from cvad_tpu.models.layers import Conv3dTorch, adaptive_avg_pool3d
+
+
+class CompactFeatureExtractor(nn.Module):
+    """3D CNN clip encoder -> `causal_dim` features.
+
+    Reference: ``avenue_training_script2.py:15-35`` (convs 3->16->32->64 with
+    strides (1,2,2)/(2,2,2)/(2,2,2), AdaptiveAvgPool3d(4,4,4), fc 4096->16,
+    dropout 0.3 *after* fc).
+    """
+
+    cfg: FamilyDConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        c1, c2, c3 = self.cfg.conv_channels
+        x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), name="conv3d_1")(x))
+        x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), name="conv3d_2")(x))
+        x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), name="conv3d_3")(x))
+        x = adaptive_avg_pool3d(x, self.cfg.pool_out)
+        # channel-major flatten to match torch's view(B, C*T*H*W)
+        x = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(x.shape[0], -1)
+        x = nn.Dense(self.cfg.causal_dim, name="fc")(x)
+        x = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class DifferentiableCausalDiscovery(nn.Module):
+    """NOTEARS-inspired adjacency head.
+
+    Reference: ``avenue_training_script2.py:37-67``.  One batched MLP
+    (16 -> 32 -> 256, sigmoid) reshaped to (B, 16, 16) with the diagonal
+    masked to forbid self-loops.
+    """
+
+    cfg: FamilyDConfig
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        d = self.cfg.causal_dim
+        h = nn.relu(nn.Dense(self.cfg.causal_hidden, name="net_0")(features))
+        adj = nn.sigmoid(nn.Dense(d * d, name="net_2")(h))
+        adj = adj.reshape(features.shape[0], d, d)
+        return adj * (1.0 - jnp.eye(d, dtype=adj.dtype))
+
+
+def acyclicity_constraint(adj: jnp.ndarray) -> jnp.ndarray:
+    """tr((batch-mean adjacency)^2) — the stabilized NOTEARS surrogate the
+    reference trains with (``avenue_training_script2.py:151-153``)."""
+    m = adj.mean(axis=0)
+    return jnp.trace(m @ m)
+
+
+class CausalAnomalyDetector(nn.Module):
+    """Full family-D model: clip -> (scores, adjacency, features).
+
+    Reference assembly: ``avenue_training_script2.py:69-101``.
+    Input: (B, T=8, H=64, W=64, C=3) channels-last clips in [0, 1].
+    """
+
+    cfg: FamilyDConfig = FamilyDConfig()
+
+    @nn.compact
+    def __call__(
+        self, clips: jnp.ndarray, *, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        features = CompactFeatureExtractor(cfg, name="feature_extractor")(
+            clips, deterministic=deterministic)
+        adj = DifferentiableCausalDiscovery(cfg, name="causal_discovery")(features)
+
+        flat = adj.reshape(adj.shape[0], -1)
+        g = nn.relu(nn.Dense(cfg.hidden_dim, name="graph_encoder_0")(flat))
+        g = nn.Dropout(cfg.dropout, deterministic=deterministic)(g)
+        g = nn.Dense(cfg.graph_embed_dim, name="graph_encoder_3")(g)
+
+        combined = jnp.concatenate([features, g], axis=-1)
+        s = nn.relu(nn.Dense(32, name="anomaly_predictor_0")(combined))
+        s = nn.sigmoid(nn.Dense(1, name="anomaly_predictor_2")(s))
+        return s, adj, features

@@ -1,0 +1,178 @@
+"""Shared layers with exact reference numerics on static shapes.
+
+These exist so that weights imported from the reference checkpoint
+(``best_improved_model.pth``) produce bit-comparable activations: torch-style
+explicit conv padding (not XLA 'SAME', whose asymmetric pads differ for even
+inputs at stride 2) and torch's adaptive-average-pool index algorithm.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def from_torch_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, T, H, W) -> (B, T, H, W, C)."""
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def to_torch_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, C, T, H, W)."""
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+class Conv3dTorch(nn.Module):
+    """3D conv over (B, T, H, W, C) with torch-style symmetric padding.
+
+    Matches ``nn.Conv3d(cin, cout, k, stride=s, padding=p)`` numerics
+    (e.g. ``avenue_training_script2.py:19-21``) while keeping the
+    channels-last layout XLA tiles best onto the MXU.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = [(p, p) for p in self.padding]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding=pad,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose3dTorch(nn.Module):
+    """Transposed 3D conv matching ``nn.ConvTranspose3d(k=4, s=2, p=1)``
+    used by the family-B decoder (``causal_anomaly_detection1.py:156-179``)."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (4, 4, 4)
+    stride: Tuple[int, int, int] = (2, 2, 2)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # torch output size = (in-1)*s - 2p + k ; lax transposed conv with
+        # padding ((k-1-p, k-1-p),...) reproduces it for these shapes.
+        pad = [(self.kernel[i] - 1 - self.padding[i],) * 2 for i in range(3)]
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding=pad,
+            name="conv",
+        )(x)
+
+
+def _adaptive_slices(in_size: int, out_size: int) -> Sequence[Tuple[int, int]]:
+    """torch AdaptiveAvgPool index ranges: [floor(i*in/out), ceil((i+1)*in/out))."""
+    return [
+        (math.floor(i * in_size / out_size), math.ceil((i + 1) * in_size / out_size))
+        for i in range(out_size)
+    ]
+
+
+def adaptive_avg_pool3d(x: jnp.ndarray, out: Tuple[int, int, int]) -> jnp.ndarray:
+    """Adaptive average pool over (B, T, H, W, C) matching torch semantics,
+    including output sizes *larger* than input (duplicated windows), which the
+    reference hits: pool (2,8,8)->(4,4,4) at ``avenue_training_script2.py:23``.
+
+    Shapes are static, so the window arithmetic happens at trace time; when the
+    output evenly divides the input this lowers to a single strided
+    reduce-window, which XLA fuses with the surrounding conv stack.
+    """
+    b, t, h, w, c = x.shape
+    ot, oh, ow = out
+    if t % ot == 0 and h % oh == 0 and w % ow == 0:
+        kt, kh, kw = t // ot, h // oh, w // ow
+        y = x.reshape(b, ot, kt, oh, kh, ow, kw, c)
+        return y.mean(axis=(2, 4, 6))
+    # General path: gather per-axis window means (tiny static loops).
+    def pool_axis(arr, axis, in_size, out_size):
+        slices = _adaptive_slices(in_size, out_size)
+        parts = [
+            jax.lax.slice_in_dim(arr, s, e, axis=axis).mean(axis=axis, keepdims=True)
+            for s, e in slices
+        ]
+        return jnp.concatenate(parts, axis=axis)
+
+    y = pool_axis(x, 1, t, ot)
+    y = pool_axis(y, 2, h, oh)
+    y = pool_axis(y, 3, w, ow)
+    return y
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out: Tuple[int, int]) -> jnp.ndarray:
+    """(B, H, W, C) adaptive average pool (family-A backbone,
+    ``causal_anomaly_detection.py:125`` AdaptiveAvgPool2d((4, 6)))."""
+    y = adaptive_avg_pool3d(x[:, None], (1, *out))
+    return y[:, 0]
+
+
+def max_pool3d(x: jnp.ndarray, kernel: Tuple[int, int, int],
+               stride: Tuple[int, int, int] | None = None) -> jnp.ndarray:
+    """Max pool over (B, T, H, W, C) matching ``nn.MaxPool3d`` (no padding)."""
+    stride = stride or kernel
+    return nn.max_pool(x, window_shape=kernel, strides=stride, padding="VALID")
+
+
+class MLP(nn.Module):
+    """Dense stack with ReLU between layers; optional final activation.
+
+    Replaces the reference's many ``nn.Sequential(Linear, ReLU, ...)`` heads.
+    """
+
+    features: Sequence[int]
+    final_activation: str | None = None  # None | 'sigmoid' | 'softmax' | 'tanh' | 'relu'
+    dropout: float = 0.0
+    dropout_after: Tuple[int, ...] = ()  # layer indices followed by dropout
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"dense_{i}")(x)
+            if i < n - 1:
+                x = nn.relu(x)
+            if i in self.dropout_after and self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        if self.final_activation == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.final_activation == "softmax":
+            x = nn.softmax(x, axis=-1)
+        elif self.final_activation == "tanh":
+            x = nn.tanh(x)
+        elif self.final_activation == "relu":
+            x = nn.relu(x)
+        return x
+
+
+class BatchNorm(nn.Module):
+    """Torch-default BatchNorm (eps 1e-5, momentum 0.1) over the last axis.
+
+    The reference uses BatchNorm2d/3d throughout families A/B/C; running
+    statistics live in the 'batch_stats' collection like standard flax.
+    """
+
+    momentum: float = 0.9  # flax convention: running = m*running + (1-m)*batch
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+        )(x)

@@ -1,0 +1,192 @@
+"""Checkpoint manager + PyTorch-checkpoint importer.
+
+Replaces the reference's ad-hoc ``torch.save`` zoo (SURVEY.md §5
+"Checkpoint / resume": four distinct formats across the scripts, loading
+tolerant of all of them at ``avenue_training_script_bbox.py:131-141``) with a
+single orbax-backed manager that saves params + optimizer state + step +
+extra state (e.g. the family-B memory bank) + training history, supports
+async save, and can restore mid-training — which the reference never could.
+
+`import_torch_family_d` converts the shipped ``best_improved_model.pth`` into
+framework params for the score-parity check (BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+
+from cvad_tpu.utils.json_utils import safe_json_load, safe_json_save
+
+
+class CheckpointManager:
+    """Orbax-backed checkpoints: one directory per step, plus 'best'."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    def _step_dir(self, step) -> Path:
+        return self.directory / (step if isinstance(step, str) else f"step_{step:08d}")
+
+    def save(self, step, state: Any, history: Optional[Mapping] = None,
+             wait: bool = False) -> Path:
+        path = self._step_dir(step)
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        if wait:
+            self._ckptr.wait_until_finished()
+        if history is not None:
+            self._ckptr.wait_until_finished()
+            safe_json_save(dict(history), path / "history.json", verbose=False)
+        self._gc()
+        return path
+
+    def restore(self, step, template: Any) -> Any:
+        self._ckptr.wait_until_finished()
+        return self._ckptr.restore(self._step_dir(step), template)
+
+    def restore_history(self, step) -> Optional[dict]:
+        return safe_json_load(self._step_dir(step) / "history.json")
+
+    def latest_step(self) -> Optional[int]:
+        steps = sorted(
+            int(p.name.split("_")[1]) for p in self.directory.glob("step_*"))
+        return steps[-1] if steps else None
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def _gc(self) -> None:
+        steps = sorted(self.directory.glob("step_*"))
+        for p in steps[: max(0, len(steps) - self.max_to_keep)]:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint import
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file tolerant of the reference's three formats
+    (``avenue_training_script_bbox.py:131-141``): a raw state dict,
+    ``{'model_state_dict': ...}``, or ``{'state_dict': ...}``.
+    Values come back as numpy arrays; torch is only needed here.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict"):
+            if key in obj:
+                obj = obj[key]
+                break
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def _conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (O, I, kT, kH, kW) -> flax (kT, kH, kW, I, O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Linear (O, I) -> flax (I, O)."""
+    return np.transpose(w, (1, 0))
+
+
+# torch key prefix -> (flax module path, kind)
+_FAMILY_D_MAP = {
+    "feature_extractor.conv3d_1": ("feature_extractor/conv3d_1/conv", "conv3d"),
+    "feature_extractor.conv3d_2": ("feature_extractor/conv3d_2/conv", "conv3d"),
+    "feature_extractor.conv3d_3": ("feature_extractor/conv3d_3/conv", "conv3d"),
+    "feature_extractor.fc": ("feature_extractor/fc", "dense"),
+    "causal_discovery.causal_net.0": ("causal_discovery/net_0", "dense"),
+    "causal_discovery.causal_net.2": ("causal_discovery/net_2", "dense"),
+    "graph_encoder.0": ("graph_encoder_0", "dense"),
+    "graph_encoder.3": ("graph_encoder_3", "dense"),
+    "anomaly_predictor.0": ("anomaly_predictor_0", "dense"),
+    "anomaly_predictor.2": ("anomaly_predictor_2", "dense"),
+}
+
+
+def import_torch_family_d(path: str) -> Dict[str, Any]:
+    """``best_improved_model.pth`` -> flax params for
+    :class:`cvad_tpu.models.CausalAnomalyDetector`.
+
+    The model definition places pooled features channel-major before the fc
+    flatten, so torch weights apply without reindexing.
+    """
+    sd = load_torch_state_dict(path)
+    params: Dict[str, Any] = {}
+    for prefix, (flax_path, kind) in _FAMILY_D_MAP.items():
+        w = sd[f"{prefix}.weight"]
+        b = sd[f"{prefix}.bias"]
+        node = params
+        for part in flax_path.split("/"):
+            node = node.setdefault(part, {})
+        node["kernel"] = _conv3d_kernel(w) if kind == "conv3d" else _dense_kernel(w)
+        node["bias"] = b
+    return jax.tree_util.tree_map(np.asarray, {"params": params})
+
+
+def export_family_d_torch_state(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse conversion: framework params -> torch-format state dict (so
+    users of the reference can round-trip checkpoints)."""
+    params = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+    for prefix, (flax_path, kind) in _FAMILY_D_MAP.items():
+        node = params
+        for part in flax_path.split("/"):
+            node = node[part]
+        k = np.asarray(node["kernel"])
+        out[f"{prefix}.weight"] = (np.transpose(k, (4, 3, 0, 1, 2))
+                                   if kind == "conv3d" else np.transpose(k, (1, 0)))
+        out[f"{prefix}.bias"] = np.asarray(node["bias"])
+    return out
+
+
+def import_torch_generic(path: str, params_template: Mapping[str, Any],
+                         rename: Optional[Mapping[str, str]] = None
+                         ) -> Dict[str, Any]:
+    """Best-effort import for other families: match torch keys to template
+    leaves by normalized name + shape.  Used by tests and the converter CLI."""
+    sd = load_torch_state_dict(path)
+    flat = jax.tree_util.tree_flatten_with_path(dict(params_template))[0]
+    out = dict(params_template)
+
+    def norm(s: str) -> str:
+        return re.sub(r"[^a-z0-9]", "", s.lower())
+
+    for torch_key, value in sd.items():
+        target = (rename or {}).get(torch_key, torch_key)
+        v = value
+        if v.ndim == 5:
+            v = _conv3d_kernel(v)
+        elif v.ndim == 4:
+            v = np.transpose(v, (2, 3, 1, 0))
+        elif v.ndim == 2:
+            v = _dense_kernel(v)
+        for keypath, leaf in flat:
+            path_str = norm("".join(str(k) for k in keypath))
+            if norm(target) in path_str and leaf.shape == v.shape:
+                node = out
+                for k in keypath[:-1]:
+                    node = node[k.key]  # type: ignore[union-attr]
+                node[keypath[-1].key] = v  # type: ignore[union-attr]
+                break
+    return out

@@ -1,0 +1,142 @@
+"""Optimizers and learning-rate schedules.
+
+Optax optimizer with `inject_hyperparams` so the learning rate is a traced
+array inside the optimizer state: host-side schedulers mutate it between
+epochs without retracing the compiled train step.  The schedulers reproduce
+the reference's four torch schedules exactly (SURVEY.md §2.7):
+
+- ReduceLROnPlateau(factor=.5, patience=5)  — family D (:128-130) / B (:353)
+- CosineAnnealingLR                          — family A (:618-620)
+- StepLR(15, 0.7)                            — family C (:237-240)
+- constant                                   — Avenue driver v1
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import optax
+
+from cvad_tpu.config import OptimConfig
+
+
+def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """Grad-clip + Adam/AdamW with injected lr (reference recipes, §2.7)."""
+
+    def make(learning_rate):
+        if cfg.optimizer == "adamw":
+            return optax.adamw(learning_rate, b1=cfg.b1, b2=cfg.b2,
+                               weight_decay=cfg.weight_decay)
+        if cfg.optimizer == "adam":
+            return optax.adam(learning_rate, b1=cfg.b1, b2=cfg.b2)
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    tx = optax.inject_hyperparams(make)(learning_rate=cfg.lr)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def get_lr(opt_state) -> float:
+    """Read the current injected learning rate out of the optimizer state."""
+    for s in jax._maybe_iter(opt_state) if False else _iter_states(opt_state):
+        hp = getattr(s, "hyperparams", None)
+        if hp and "learning_rate" in hp:
+            return float(hp["learning_rate"])
+    raise ValueError("no injected learning_rate found in opt_state")
+
+
+def set_lr(opt_state, lr: float):
+    """Return a new opt_state with the injected learning rate replaced."""
+    import jax
+
+    def replace(s):
+        hp = getattr(s, "hyperparams", None)
+        if hp and "learning_rate" in hp:
+            new_hp = dict(hp)
+            new_hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return s._replace(hyperparams=new_hp) if hasattr(s, "_replace") \
+                else type(s)(**{**s.__dict__, "hyperparams": new_hp})
+        return s
+
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+        return tuple(set_lr(s, lr) for s in opt_state)
+    hp = getattr(opt_state, "hyperparams", None)
+    if hp is not None and "learning_rate" in hp:
+        new_hp = dict(hp)
+        new_hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        try:
+            return opt_state._replace(hyperparams=new_hp)
+        except AttributeError:
+            import dataclasses
+
+            return dataclasses.replace(opt_state, hyperparams=new_hp)
+    return opt_state
+
+
+def _iter_states(opt_state):
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+        for s in opt_state:
+            yield from _iter_states(s)
+    else:
+        yield opt_state
+
+
+class HostScheduler:
+    """Epoch-granular LR scheduler with exact torch semantics.
+
+    `step(metric)` is called once per epoch (the reference calls its
+    schedulers per epoch: ``avenue_training_script2.py:261``,
+    ``minicausal_vad_complete3.py:240``); returns the new lr.
+    """
+
+    def __init__(self, cfg: OptimConfig, total_epochs: int = 0):
+        self.cfg = cfg
+        self.base_lr = cfg.lr
+        self.lr = cfg.lr
+        self.epoch = 0
+        # plateau bookkeeping (torch ReduceLROnPlateau, mode='min',
+        # threshold=1e-4 relative, no cooldown)
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+        self.total_epochs = total_epochs
+
+    def step(self, metric: Optional[float] = None) -> float:
+        cfg = self.cfg
+        self.epoch += 1
+        if cfg.schedule == "constant":
+            pass
+        elif cfg.schedule == "plateau":
+            if metric is not None and math.isfinite(metric):
+                if self.best is None or metric < self.best * (1 - 1e-4):
+                    self.best = metric
+                    self.bad_epochs = 0
+                else:
+                    self.bad_epochs += 1
+                    if self.bad_epochs > cfg.plateau_patience:
+                        self.lr = self.lr * cfg.plateau_factor
+                        self.bad_epochs = 0
+        elif cfg.schedule == "step":
+            if self.epoch % cfg.step_size == 0:
+                self.lr = self.lr * cfg.step_gamma
+        elif cfg.schedule == "cosine":
+            t_max = cfg.cosine_steps or max(1, self.total_epochs)
+            self.lr = 0.5 * self.base_lr * (1 + math.cos(math.pi * self.epoch / t_max))
+        else:
+            raise ValueError(f"unknown schedule {cfg.schedule!r}")
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "epoch": self.epoch, "best": self.best,
+                "bad_epochs": self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = d["lr"]
+        self.epoch = d["epoch"]
+        self.best = d["best"]
+        self.bad_epochs = d["bad_epochs"]
+
+
+import jax  # noqa: E402  (used by set_lr's tree ops)

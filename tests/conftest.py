@@ -1,0 +1,68 @@
+"""Test harness.
+
+All tests run on CPU by default (deterministic float32 numerics, fast
+compiles); the 8 virtual CPU devices simulate a multi-chip mesh for the
+data-parallel tests (SURVEY.md §4: JAX's
+``xla_force_host_platform_device_count`` trick).  This must be set before the
+CPU backend initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(autouse=True)
+def _default_cpu():
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh(cpu_devices):
+    from cvad_tpu.runtime.mesh import create_mesh
+
+    return create_mesh(devices=cpu_devices)
+
+
+@pytest.fixture()
+def rng():
+    return jax.random.key(0)
+
+
+@pytest.fixture()
+def np_rng():
+    return np.random.default_rng(0)
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+def load_reference_module(name: str):
+    """Import a reference script by path (parity oracles only — reference
+    code is never copied into the framework)."""
+    import importlib.util
+
+    path = os.path.join(REFERENCE_DIR, f"{name}.py")
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present")
