@@ -1,0 +1,128 @@
+"""Batching + prefetching device feed.
+
+TPU-native replacement for the reference's ``DataLoader(num_workers=2)``
+(SURVEY.md §2.9 "Async/parallel input pipeline"): a thread-pool decode/collate
+stage feeding a bounded queue, then a device-put double buffer so the next
+batch's host->device transfer overlaps the current step's compute.  The
+device boundary is one `jax.device_put` with the mesh's batch sharding —
+replacing per-batch ``.to(device)`` calls.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterable, Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterable over collated host batches ``{"clips": (B,T,H,W,C), "labels": (B,)}``.
+
+    Decode happens in a small thread pool (PIL/cv2/native decode release the
+    GIL); batches come out in deterministic order.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 torch_layout: bool = False, num_threads: int = 4,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.torch_layout = torch_layout
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            yield idx[s:s + self.batch_size]
+
+    def _collate(self, indices) -> Dict[str, np.ndarray]:
+        items = [self.dataset[int(i)] for i in indices]
+        clips = np.stack([c for c, _ in items])
+        labels = np.asarray([l for _, l in items], np.float32)
+        if self.torch_layout:  # (B, T, H, W, C) -> (B, C, T, H, W)
+            clips = np.transpose(clips, (0, 4, 1, 2, 3))
+        return {"clips": clips, "labels": labels}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
+        batches = list(self._batch_indices())
+        if not batches:
+            return iter(())
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._collate(b))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        def gen():
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+
+        return gen()
+
+
+class DevicePrefetcher:
+    """Wrap a host-batch iterable: device-put batch k+1 while batch k computes.
+
+    With a mesh, batches land pre-sharded over the 'data' axis (the multi-chip
+    input path); without one, a plain async device transfer.
+    """
+
+    def __init__(self, host_batches: Iterable[Dict[str, np.ndarray]],
+                 mesh=None, pad_to_multiple: Optional[int] = None):
+        self.host_batches = host_batches
+        self.mesh = mesh
+        self.pad = pad_to_multiple
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        import jax
+
+        if self.pad:
+            from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
+
+            batch, _ = _pad(batch, self.pad)
+        if self.mesh is not None:
+            from cvad_tpu.runtime.mesh import shard_batch
+
+            return shard_batch(self.mesh, batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def __iter__(self):
+        it = iter(self.host_batches)
+        try:
+            pending = self._put(next(it))
+        except StopIteration:
+            return
+        for nxt in it:
+            nxt_dev = self._put(nxt)  # enqueue transfer before yielding current
+            yield pending
+            pending = nxt_dev
+        yield pending

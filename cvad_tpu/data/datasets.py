@@ -1,0 +1,161 @@
+"""Datasets: UCSD Ped2 (all reference variants), Avenue, and synthetic.
+
+One `ClipDataset` abstraction replaces the reference's four copy-pasted
+Dataset classes (SURVEY.md §2.1); variant behavior (stride, resize, label
+policy, clamp) comes from `DataConfig`.  `create_avenue_dataloaders`
+reconstructs the missing ``avenue_dataset_usage`` module's contract from its
+call sites (``avenue_training_script2.py:357-365``,
+``avenue_training_script1.py:19``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cvad_tpu.config import DataConfig
+from cvad_tpu.data import decode
+from cvad_tpu.data.frames import ClipSpec, clip_windows, scan_video_folders
+from cvad_tpu.data.labels import assign_labels
+from cvad_tpu.data.synthetic import make_synthetic_clips
+
+
+class ClipDataset:
+    """Frame-folder clip dataset: decode-on-access, fixed shapes."""
+
+    def __init__(self, clips: Sequence[ClipSpec], labels: np.ndarray,
+                 cfg: DataConfig):
+        assert len(clips) == len(labels)
+        self.clips = list(clips)
+        self.labels = np.asarray(labels, np.float32)
+        self.cfg = cfg
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.float32]:
+        spec = self.clips[idx]
+        cfg = self.cfg
+        clip = self._decode_clip(spec.frames)
+        lo, hi = cfg.normalize_clamp
+        if (lo, hi) != (0.0, 1.0):
+            clip = np.clip(clip, lo, hi)  # family B clamp (:113-114)
+        return clip, self.labels[idx]
+
+    def _decode_clip(self, paths: Sequence[str]) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.decode_backend in ("auto", "native"):
+            from cvad_tpu.data.native_decoder import decode_clip
+
+            if all(p.lower().endswith((".pgm", ".ppm", ".bmp")) for p in paths):
+                out = decode_clip(paths, cfg.frame_size, cfg.channels,
+                                  cfg.num_decode_threads)
+                if out is not None:
+                    return out
+        frames = [decode.decode_frame(p, cfg.frame_size,
+                                      grayscale=cfg.channels == 1,
+                                      backend=cfg.decode_backend)
+                  for p in paths]
+        return np.stack(frames)
+
+
+class SyntheticClipDataset:
+    """In-memory synthetic clips (fixtures + benchmarks; no host IO)."""
+
+    def __init__(self, cfg: DataConfig, n: int = 256, split: str = "Train",
+                 anomaly_rate: Optional[float] = None):
+        rate = anomaly_rate
+        if rate is None:
+            rate = 0.2 if split.lower() == "train" else 0.5
+        self.data, self.labels = make_synthetic_clips(
+            n, cfg.clip_len, cfg.frame_size, cfg.channels, rate,
+            seed=cfg.seed + (0 if split.lower() == "train" else 1))
+        lo, hi = cfg.normalize_clamp
+        if (lo, hi) != (0.0, 1.0):
+            self.data = np.clip(self.data, lo, hi)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int):
+        return self.data[idx], self.labels[idx]
+
+
+def _folder_dataset(root: str, split: str, cfg: DataConfig, policy: str
+                    ) -> ClipDataset:
+    videos = scan_video_folders(str(Path(root) / split))
+    clips = clip_windows(videos, cfg.clip_len, cfg.stride,
+                         cfg.max_clips_per_video)
+    lengths = [len(frames) for _, frames in videos]
+    labels = assign_labels(policy, clips, split, lengths)
+    return ClipDataset(clips, labels, cfg)
+
+
+class UCSDPed2Dataset(ClipDataset):
+    """UCSD Ped2 frame folders, reference variants via `cfg.label_policy`."""
+
+    def __init__(self, root: str, split: str = "Train",
+                 cfg: DataConfig = DataConfig()):
+        ds = _folder_dataset(root, split, cfg, cfg.label_policy or "none")
+        super().__init__(ds.clips, ds.labels, cfg)
+
+
+class AvenueDataset(ClipDataset):
+    """CUHK Avenue frames.  Layout-flexible: accepts
+    ``<root>/{training,testing}/frames/<video>/``, ``<root>/{Train,Test}/``,
+    or flat video folders; labels default to zeros (unsupervised training,
+    like the reference pipeline)."""
+
+    _SPLIT_DIRS = {
+        "train": ("training/frames", "training", "Train", "train", "training_frames"),
+        "test": ("testing/frames", "testing", "Test", "test", "testing_frames"),
+    }
+
+    def __init__(self, root: str, split: str = "Train",
+                 cfg: DataConfig = DataConfig()):
+        key = "train" if split.lower().startswith("train") else "test"
+        rootp = Path(root)
+        subdir = next((d for d in self._SPLIT_DIRS[key]
+                       if (rootp / d).is_dir()), None)
+        if subdir is None:
+            raise FileNotFoundError(
+                f"no {key} split under {root} (tried {self._SPLIT_DIRS[key]})")
+        videos = scan_video_folders(str(rootp / subdir))
+        clips = clip_windows(videos, cfg.clip_len, cfg.stride,
+                             cfg.max_clips_per_video)
+        lengths = [len(frames) for _, frames in videos]
+        labels = assign_labels(cfg.label_policy or "none", clips, split, lengths)
+        super().__init__(clips, labels, cfg)
+
+
+def build_dataset(cfg: DataConfig, split: str = "Train", n_synthetic: int = 256):
+    if cfg.dataset == "synthetic":
+        return SyntheticClipDataset(cfg, n=n_synthetic, split=split)
+    if cfg.dataset in ("ucsd_ped2", "ucsd_ped2_simple"):
+        return UCSDPed2Dataset(cfg.root, split, cfg)
+    if cfg.dataset == "avenue":
+        return AvenueDataset(cfg.root, split, cfg)
+    raise KeyError(f"unknown dataset {cfg.dataset!r}")
+
+
+def create_avenue_dataloaders(dataset_path: str, batch_size: int = 4,
+                              num_workers: int = 2, clip_length: int = 8,
+                              frame_size: Tuple[int, int] = (64, 64)):
+    """Reference-compatible entry point (missing-module contract, SURVEY.md
+    §2.1): returns (train_loader, test_loader) yielding
+    ``(videos, labels)`` with videos shaped (B, 3, clip_length, H, W) —
+    torch layout, matching ``CompactFeatureExtractor`` input_channels=3."""
+    from cvad_tpu.data.batcher import BatchLoader
+
+    cfg = DataConfig(dataset="avenue", root=dataset_path, clip_len=clip_length,
+                     frame_size=frame_size, channels=3, stride=4,
+                     batch_size=batch_size,
+                     num_decode_threads=max(num_workers, 1))
+    train = AvenueDataset(dataset_path, "Train", cfg)
+    test = AvenueDataset(dataset_path, "Test", cfg)
+    mk = lambda ds, shuffle: BatchLoader(ds, batch_size, shuffle=shuffle,
+                                         torch_layout=True,
+                                         num_threads=max(num_workers, 1))
+    return mk(train, True), mk(test, False)

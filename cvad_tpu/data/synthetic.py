@@ -1,0 +1,109 @@
+"""Synthetic video generator: in-memory clips and on-disk frame trees.
+
+Formalizes the reference's "synthetic data in place of fixtures" pattern
+(SURVEY.md §4) as a real fixture generator: normal clips are smooth moving
+blobs; anomalous clips have erratic fast motion + intensity flashes, so score
+separations are learnable.  The on-disk writer produces UCSD-style
+``<root>/<split>/<video>/<frame>`` trees in formats the native C++ decoder
+reads (PGM/PPM) plus .npy, letting data-pipeline tests run without image
+libraries.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+def _render_video(rng: np.ndarray, t: int, h: int, w: int, c: int,
+                  anomalous: bool) -> np.ndarray:
+    """Render one clip (T, H, W, C) float32 in [0, 1]."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx = rng.uniform(0.2, 0.8) * w
+    cy = rng.uniform(0.2, 0.8) * h
+    vx = rng.uniform(-1.5, 1.5)
+    vy = rng.uniform(-1.5, 1.5)
+    sigma = rng.uniform(0.08, 0.15) * min(h, w)
+    frames = np.empty((t, h, w, c), np.float32)
+    base = rng.uniform(0.05, 0.2)
+    for i in range(t):
+        if anomalous:
+            # erratic jumps + speed bursts
+            cx += vx * 4 + rng.normal(0, 0.15 * w)
+            cy += vy * 4 + rng.normal(0, 0.15 * h)
+        else:
+            cx += vx
+            cy += vy
+        cx = float(np.clip(cx, 0, w - 1))
+        cy = float(np.clip(cy, 0, h - 1))
+        blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma**2))
+        frame = base + 0.7 * blob
+        if anomalous and i % 3 == 0:
+            frame = frame + 0.3  # intensity flash
+        frame = np.clip(frame + rng.normal(0, 0.02, (h, w)), 0, 1)
+        if c == 1:
+            frames[i, ..., 0] = frame
+        else:
+            for ch in range(c):
+                frames[i, ..., ch] = np.clip(frame * (0.8 + 0.2 * ch / c), 0, 1)
+    return frames
+
+
+def make_synthetic_clips(n: int, clip_len: int = 8, hw: Tuple[int, int] = (64, 64),
+                         channels: int = 3, anomaly_rate: float = 0.5,
+                         seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """(clips (N, T, H, W, C) f32, labels (N,) f32) with learnable separation."""
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    clips = np.empty((n, clip_len, h, w, channels), np.float32)
+    labels = (rng.uniform(size=n) < anomaly_rate).astype(np.float32)
+    for i in range(n):
+        clips[i] = _render_video(rng, clip_len, h, w, channels, bool(labels[i]))
+    return clips, labels
+
+
+def write_synthetic_video_tree(root: str, splits=("Train", "Test"),
+                               videos_per_split: int = 2,
+                               frames_per_video: int = 24,
+                               hw: Tuple[int, int] = (64, 64),
+                               channels: int = 1, fmt: str = "pgm",
+                               seed: int = 0) -> str:
+    """Write a UCSD-style frame-folder tree; returns the root path."""
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    rootp = Path(root)
+    for split in splits:
+        for v in range(videos_per_split):
+            vdir = rootp / split / f"{split}{v + 1:03d}"
+            vdir.mkdir(parents=True, exist_ok=True)
+            video = _render_video(rng, frames_per_video, h, w, channels,
+                                  anomalous=(split != "Train" and v % 2 == 0))
+            for i in range(frames_per_video):
+                frame8 = (video[i] * 255).astype(np.uint8)
+                path = vdir / f"{i + 1:03d}.{fmt}"
+                if fmt == "npy":
+                    np.save(str(path)[:-4] + ".npy", video[i])
+                elif fmt == "pgm":
+                    _write_pgm(path, frame8[..., 0] if channels >= 1 else frame8)
+                elif fmt == "ppm":
+                    rgb = (np.repeat(frame8, 3, -1) if channels == 1 else frame8)
+                    _write_ppm(path, rgb[..., :3])
+                else:
+                    raise ValueError(f"unsupported fixture format {fmt!r}")
+    return str(rootp)
+
+
+def _write_pgm(path: Path, gray: np.ndarray) -> None:
+    h, w = gray.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(np.ascontiguousarray(gray, np.uint8).tobytes())
+
+
+def _write_ppm(path: Path, rgb: np.ndarray) -> None:
+    h, w = rgb.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(np.ascontiguousarray(rgb, np.uint8).tobytes())

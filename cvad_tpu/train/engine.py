@@ -1,0 +1,219 @@
+"""The training engine: one epoch loop serving all model families.
+
+Unifies the reference's five hand-written loops (SURVEY.md §2.7) — epoch
+iteration, loss-component accounting, LR scheduling, NaN skipping, eval
+cadence, best/interval checkpointing, history JSON — over the per-family
+jitted steps from `cvad_tpu.train.tasks`.
+
+TPU-native structure: one `jax.jit`-compiled train step (state donated, batch
+sharded over the mesh's 'data' axis, params replicated — XLA inserts the
+gradient all-reduce over ICI), a device-prefetching input feed, and a single
+host sync point per step (the metrics fetch).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from cvad_tpu.config import (ExperimentConfig, FamilyAConfig, FamilyBConfig,
+                             FamilyCConfig, FamilyDConfig)
+from cvad_tpu.data.batcher import BatchLoader, DevicePrefetcher
+from cvad_tpu.evaluation.metrics import (binary_metrics, family_d_eval_metrics,
+                                         percentile_threshold,
+                                         score_separation)
+from cvad_tpu.runtime.checkpoint import CheckpointManager
+from cvad_tpu.runtime.history import TrainingHistory
+from cvad_tpu.runtime.mesh import batch_sharding, create_mesh, replicated
+from cvad_tpu.runtime.metrics import MetricLogger, StepTimer
+from cvad_tpu.train.optim import HostScheduler, set_lr
+from cvad_tpu.train.tasks import build_task
+
+
+class Trainer:
+    """End-to-end trainer for one `ExperimentConfig`."""
+
+    def __init__(self, cfg: ExperimentConfig, mesh=None,
+                 out_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh(
+            cfg.parallel.data_axis, cfg.parallel.temporal_axis)
+        self.task = build_task(cfg)
+        self.out_dir = Path(out_dir or cfg.train.out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.history = TrainingHistory(self.out_dir / cfg.train.history_name)
+        self.logger = MetricLogger(self.out_dir / "metrics.jsonl")
+        self.scheduler = HostScheduler(cfg.optim, cfg.train.num_epochs)
+        self.ckpt = CheckpointManager(self.out_dir / "checkpoints")
+        self.state = None
+        self._jit_train = None
+        self._jit_eval = None
+        self._best = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray]) -> None:
+        rng = jax.random.key(self.cfg.train.seed)
+        state = self.task.init_state(rng, _to_jnp(sample_batch))
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(state, rep)
+
+        bsh = batch_sharding(self.mesh)
+        donate = (0,) if self.cfg.train.donate_state else ()
+        self._jit_train = jax.jit(
+            self.task.train_step,
+            in_shardings=(rep, bsh, rep),
+            donate_argnums=donate,
+        )
+        self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, bsh))
+        self._rng = jax.device_put(jax.random.key(self.cfg.train.seed + 1), rep)
+
+    # -- epochs --------------------------------------------------------------
+
+    def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
+                    epoch: int) -> Dict[str, float]:
+        assert self.state is not None, "call init_state first"
+        totals: Dict[str, float] = {}
+        count = 0
+        timer = StepTimer()
+        nd = self.mesh.devices.size
+        feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd)
+        for batch in feed:
+            self.state, metrics = self._jit_train(self.state, batch, self._rng)
+            host = {k: float(v) for k, v in
+                    jax.device_get(metrics).items()}
+            count += 1
+            for k, v in host.items():
+                totals[k] = totals.get(k, 0.0) + v
+            if count % self.cfg.train.log_every == 0:
+                t = timer.tick()
+                self.logger.log("train_batch", epoch=epoch, batch=count,
+                                **host, steps_per_s=t["steps_per_s"])
+        avg = {k: v / max(count, 1) for k, v in totals.items()}
+        lr = self.scheduler.lr
+        self.history.record_epoch(epoch, avg.get("loss", float("nan")),
+                                  {k: v for k, v in avg.items() if k != "loss"},
+                                  lr)
+        # epoch-granular LR schedule, then push the new lr into opt_state
+        new_lr = self.scheduler.step(avg.get("loss"))
+        if new_lr != lr:
+            self.state = self.state.replace(
+                opt_state=set_lr(self.state.opt_state, new_lr))
+            self.logger.log("lr_update", epoch=epoch, lr=new_lr)
+        return avg
+
+    def evaluate(self, loader: Iterable[Dict[str, np.ndarray]]
+                 ) -> Dict[str, Any]:
+        from cvad_tpu.runtime.mesh import pad_to_multiple, shard_batch
+
+        outs: Dict[str, list] = {}
+        nd = self.mesh.devices.size
+        for host_batch in loader:
+            padded, valid = pad_to_multiple(host_batch, nd)
+            out = jax.device_get(
+                self._jit_eval(self.state, shard_batch(self.mesh, padded)))
+            for k, v in out.items():
+                v = np.asarray(v)
+                # trim DP padding rows from per-sample outputs
+                outs.setdefault(k, []).append(
+                    v[:valid] if v.ndim and v.shape[0] >= valid else v)
+        merged = {k: (np.concatenate(v) if v[0].ndim else np.asarray(v))
+                  for k, v in outs.items()}
+        return self._eval_metrics(merged)
+
+    def _eval_metrics(self, out: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        model_cfg = self.cfg.model
+        if isinstance(model_cfg, FamilyDConfig):
+            m = family_d_eval_metrics(out["predictions"], out["causal_graphs"],
+                                      self.cfg.loss.edge_threshold)
+            return {**m, "predictions": out["predictions"],
+                    "causal_graphs": out["causal_graphs"]}
+        if isinstance(model_cfg, FamilyCConfig):
+            m = binary_metrics(out["predictions"], out["labels"])
+            m["loss"] = float(np.mean(out["loss"]))
+            return {**m, "predictions": out["predictions"],
+                    "labels": out["labels"]}
+        if isinstance(model_cfg, FamilyBConfig):
+            thr = percentile_threshold(out["predictions"], out["labels"])
+            m = binary_metrics(out["predictions"], out["labels"], thr)
+            m.update(score_separation(out["predictions"], out["labels"]))
+            m["val_loss"] = float(np.mean(out["loss"]))
+            return {**m, "predictions": out["predictions"],
+                    "labels": out["labels"]}
+        if isinstance(model_cfg, FamilyAConfig):
+            m = binary_metrics(out["predictions"], out["labels"])
+            m["val_acc"] = m["accuracy"]
+            return {**m, "predictions": out["predictions"],
+                    "labels": out["labels"]}
+        raise KeyError(type(model_cfg).__name__)
+
+    # -- full run ------------------------------------------------------------
+
+    def fit(self, train_loader, eval_loader=None,
+            sample_batch: Optional[Dict[str, np.ndarray]] = None) -> Dict:
+        cfg = self.cfg.train
+        if self.state is None:
+            if sample_batch is None:
+                sample_batch = next(iter(train_loader))
+            self.init_state(sample_batch)
+        t0 = time.time()
+        for epoch in range(1, cfg.num_epochs + 1):
+            avg = self.train_epoch(train_loader, epoch)
+            self.logger.log("epoch", epoch=epoch, **{k: v for k, v in avg.items()})
+            is_eval = (eval_loader is not None
+                       and ((epoch - 1) % cfg.eval_every == 0
+                            or epoch == cfg.num_epochs))
+            if is_eval:
+                metrics = self.evaluate(eval_loader)
+                scalar = {k: v for k, v in metrics.items()
+                          if isinstance(v, (int, float))}
+                self.history.record_eval(scalar)
+                self.logger.log("eval", epoch=epoch, **scalar)
+                self._maybe_save_best(epoch, scalar, avg)
+            if cfg.save_interval and epoch % cfg.save_interval == 0:
+                self.ckpt.save(int(epoch), self.state,
+                               history=self.history.as_dict())
+        self.logger.log("done", epochs=cfg.num_epochs,
+                        total_s=time.time() - t0)
+        self.ckpt.wait()
+        return self.history.as_dict()
+
+    def _maybe_save_best(self, epoch: int, eval_metrics: Dict[str, float],
+                         train_avg: Dict[str, float]) -> None:
+        cfg = self.cfg.train
+        key = cfg.best_metric
+        value = eval_metrics.get(key, train_avg.get(key))
+        if value is None or not np.isfinite(value):
+            return
+        better = (self._best is None
+                  or (cfg.best_mode == "max" and value > self._best)
+                  or (cfg.best_mode == "min" and value < self._best))
+        if better:
+            self._best = value
+            self.ckpt.save("best", self.state, history=self.history.as_dict())
+            self.logger.log("best_model", epoch=epoch, **{key: value})
+
+
+def _to_jnp(batch: Dict[str, np.ndarray]):
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def make_loaders(cfg: ExperimentConfig, n_synthetic: int = 256):
+    """Convenience: (train_loader, eval_loader) from the data config."""
+    from cvad_tpu.data.datasets import build_dataset
+
+    train = build_dataset(cfg.data, "Train", n_synthetic)
+    test = build_dataset(cfg.data, "Test", max(n_synthetic // 2, 2))
+    bs = cfg.data.batch_size
+    return (BatchLoader(train, bs, shuffle=True, seed=cfg.data.seed,
+                        num_threads=cfg.data.num_decode_threads,
+                        prefetch=cfg.data.prefetch),
+            BatchLoader(test, bs, shuffle=False,
+                        num_threads=cfg.data.num_decode_threads,
+                        prefetch=cfg.data.prefetch))

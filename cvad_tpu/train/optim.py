@@ -41,7 +41,7 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
 
 def get_lr(opt_state) -> float:
     """Read the current injected learning rate out of the optimizer state."""
-    for s in jax._maybe_iter(opt_state) if False else _iter_states(opt_state):
+    for s in _iter_states(opt_state):
         hp = getattr(s, "hyperparams", None)
         if hp and "learning_rate" in hp:
             return float(hp["learning_rate"])
@@ -50,29 +50,13 @@ def get_lr(opt_state) -> float:
 
 def set_lr(opt_state, lr: float):
     """Return a new opt_state with the injected learning rate replaced."""
-    import jax
-
-    def replace(s):
-        hp = getattr(s, "hyperparams", None)
-        if hp and "learning_rate" in hp:
-            new_hp = dict(hp)
-            new_hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            return s._replace(hyperparams=new_hp) if hasattr(s, "_replace") \
-                else type(s)(**{**s.__dict__, "hyperparams": new_hp})
-        return s
-
     if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
         return tuple(set_lr(s, lr) for s in opt_state)
     hp = getattr(opt_state, "hyperparams", None)
     if hp is not None and "learning_rate" in hp:
         new_hp = dict(hp)
         new_hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        try:
-            return opt_state._replace(hyperparams=new_hp)
-        except AttributeError:
-            import dataclasses
-
-            return dataclasses.replace(opt_state, hyperparams=new_hp)
+        return opt_state._replace(hyperparams=new_hp)
     return opt_state
 
 
@@ -137,6 +121,3 @@ class HostScheduler:
         self.epoch = d["epoch"]
         self.best = d["best"]
         self.bad_epochs = d["bad_epochs"]
-
-
-import jax  # noqa: E402  (used by set_lr's tree ops)

@@ -1,0 +1,284 @@
+"""Per-family training/eval step definitions.
+
+Each task turns a (model config, loss config, optim config) triple into pure
+jittable `train_step(state, batch, rng)` / `eval_step(state, batch)` functions
+plus an initializer.  The engine (`cvad_tpu.train.engine`) jits them once over
+the device mesh; the reference's five hand-written training loops (SURVEY.md
+§2.7) all collapse into these step definitions.
+
+Batches are dicts: ``{"clips": (B, T, H, W, C) f32, "labels": (B,) f32}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cvad_tpu.config import (ExperimentConfig, FamilyAConfig, FamilyBConfig,
+                             FamilyCConfig, FamilyDConfig, LossConfig)
+from cvad_tpu.models import build_model
+from cvad_tpu.models.family_b import (init_memory, memory_anomaly_score,
+                                      update_memory)
+from cvad_tpu.ops.losses import (binary_cross_entropy, family_a_loss,
+                                 family_b_reconstruction_loss, improved_loss,
+                                 pseudo_labels)
+from cvad_tpu.train.optim import build_optimizer
+from cvad_tpu.train.state import TrainState, make_state
+
+
+class Task:
+    """Bundle of model + step functions for one family."""
+
+    def __init__(self, model, tx, init_state, train_step, eval_step):
+        self.model = model
+        self.tx = tx
+        self.init_state = init_state
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+
+def _apply_updates(state: TrainState, tx, grads, loss,
+                   new_model_state: Dict[str, Any] | None = None,
+                   extra=None) -> TrainState:
+    """Clip+optimizer update with the NaN-skip guard (SURVEY.md §5 sanitizers):
+    a non-finite loss or gradient leaves params/opt-state untouched, exactly
+    like the reference's `continue`-on-NaN batches."""
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+
+    def keep(new, old):
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+
+    return TrainState(
+        params=keep(new_params, state.params),
+        opt_state=keep(new_opt, state.opt_state),
+        step=state.step + 1,
+        batch_stats=(new_model_state or {}).get("batch_stats", state.batch_stats),
+        extra=extra if extra is not None else state.extra,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Family D (flagship) — avenue_training_script2.py recipe
+# ---------------------------------------------------------------------------
+
+
+def _family_d_task(cfg: ExperimentConfig) -> Task:
+    model = build_model(cfg.model)
+    tx = build_optimizer(cfg.optim)
+    loss_cfg = cfg.loss
+
+    def init_state(rng, sample_batch) -> TrainState:
+        variables = model.init(rng, sample_batch["clips"])
+        return make_state(variables["params"], tx)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        r_drop, r_pseudo = jax.random.split(rng)
+        targets = pseudo_labels(r_pseudo, batch["clips"].shape[0],
+                                loss_cfg.pseudo_anomaly_rate)
+
+        def loss_fn(params):
+            scores, adj, feats = model.apply(
+                {"params": params}, batch["clips"], deterministic=False,
+                rngs={"dropout": r_drop})
+            total, comps = improved_loss(scores, adj, targets, loss_cfg)
+            return total, comps
+
+        (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads, loss)
+        metrics = {"loss": loss, **comps}
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        scores, adj, feats = model.apply({"params": state.params},
+                                         batch["clips"], deterministic=True)
+        return {"predictions": scores.reshape(-1), "causal_graphs": adj,
+                "features": feats}
+
+    return Task(model, tx, init_state, train_step, eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Family C — minicausal_vad_complete3.py StableTrainer recipe
+# ---------------------------------------------------------------------------
+
+
+def _family_c_task(cfg: ExperimentConfig) -> Task:
+    model = build_model(cfg.model)
+    tx = build_optimizer(cfg.optim)
+
+    def init_state(rng, sample_batch) -> TrainState:
+        variables = model.init(rng, sample_batch["clips"], train=True)
+        return make_state(variables["params"], tx,
+                          batch_stats=variables["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            scores, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clips"], train=True, deterministic=False,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = jnp.mean(binary_cross_entropy(scores.reshape(-1),
+                                                 batch["labels"]))
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads, loss, mutated)
+        return new_state, {"loss": loss}
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        scores = model.apply(state.variables(), batch["clips"],
+                             train=False, deterministic=True)
+        scores = scores.reshape(-1)
+        loss = jnp.mean(binary_cross_entropy(scores, batch["labels"]))
+        return {"predictions": scores, "labels": batch["labels"], "loss": loss}
+
+    return Task(model, tx, init_state, train_step, eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Family B — causal_anomaly_detection1.py normal-only AE recipe
+# ---------------------------------------------------------------------------
+
+
+def _family_b_task(cfg: ExperimentConfig) -> Task:
+    model = build_model(cfg.model)
+    tx = build_optimizer(cfg.optim)
+    mcfg: FamilyBConfig = cfg.model
+    loss_cfg: LossConfig = cfg.loss
+
+    def init_state(rng, sample_batch) -> TrainState:
+        mem = init_memory(mcfg.memory_size, mcfg.latent_dim)
+        variables = model.init(rng, sample_batch["clips"], mem, train=True)
+        return make_state(variables["params"], tx,
+                          batch_stats=variables["batch_stats"], extra=mem)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        normal = (batch["labels"] == 0).astype(jnp.float32)  # (:374-378)
+        n_normal = normal.sum()
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clips"], state.extra, train=True,
+                mutable=["batch_stats"])
+            # per-sample recon error, averaged over normal samples only
+            err = jnp.mean((jnp.clip(out["reconstructed"], 1e-8, 1 - 1e-8)
+                            - batch["clips"]) ** 2, axis=(1, 2, 3, 4))
+            loss = (err * normal).sum() / jnp.maximum(n_normal, 1.0)
+            loss = loss * loss_cfg.b_recon_weight
+            return loss, (mutated, out)
+
+        (loss, (mutated, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # memory update with normal features only (reference :407 updates per
+        # step with the batch's normal features)
+        mem = update_memory_masked(state.extra, out["sequence_feature"], normal)
+        new_state = _apply_updates(state, tx, grads, loss, mutated, extra=mem)
+        return new_state, {"loss": loss, "n_normal": n_normal}
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        out = model.apply(state.variables(), batch["clips"], state.extra,
+                          train=False)
+        recon_err = jnp.mean((out["reconstructed"] - batch["clips"]) ** 2,
+                             axis=(1, 2, 3, 4))
+        mem_score = out["anomaly_score"]
+        combined = (loss_cfg.b_score_recon * recon_err
+                    + loss_cfg.b_score_memory * mem_score)  # (:552)
+        return {"predictions": combined, "recon_errors": recon_err,
+                "memory_scores": mem_score, "labels": batch["labels"],
+                "loss": jnp.mean(recon_err)}
+
+    return Task(model, tx, init_state, train_step, eval_step)
+
+
+def update_memory_masked(state, feats, mask):
+    """Write only masked rows into the ring buffer, preserving FIFO order:
+    valid rows are packed first (stable sort), the pointer advances by the
+    valid count."""
+    b = feats.shape[0]
+    order = jnp.argsort(~mask.astype(bool), stable=True)
+    feats_sorted = feats[order]
+    k = mask.sum().astype(jnp.int32)
+    m = state.memory.shape[0]
+    idx = (state.ptr + jnp.arange(b, dtype=jnp.int32)) % m
+    valid_write = jnp.arange(b) < k
+    current = state.memory[idx]
+    new_rows = jnp.where(valid_write[:, None],
+                         jax.lax.stop_gradient(feats_sorted), current)
+    memory = state.memory.at[idx].set(new_rows)
+    from cvad_tpu.models.family_b import MemoryBankState
+
+    return MemoryBankState(memory=memory, ptr=(state.ptr + k) % m,
+                           fill=jnp.minimum(state.fill + k, m))
+
+
+# ---------------------------------------------------------------------------
+# Family A — causal_anomaly_detection.py recipe
+# ---------------------------------------------------------------------------
+
+
+def _family_a_task(cfg: ExperimentConfig) -> Task:
+    model = build_model(cfg.model)
+    tx = build_optimizer(cfg.optim)
+    loss_cfg = cfg.loss
+
+    def init_state(rng, sample_batch) -> TrainState:
+        variables = model.init(rng, sample_batch["clips"], train=True)
+        return make_state(variables["params"], tx,
+                          batch_stats=variables["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        r_vae, r_drop = jax.random.split(rng)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clips"], rng=r_vae, train=True, deterministic=False,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            loss, comps = family_a_loss(out, batch["labels"], loss_cfg)
+            return loss, (mutated, comps)
+
+        (loss, (mutated, comps)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads, loss, mutated)
+        return new_state, {"loss": loss, **comps}
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        out = model.apply(state.variables(), batch["clips"], train=False,
+                          deterministic=True)
+        return {"predictions": out["anomaly_scores"],
+                "causal_scores": out["causal_anomaly_scores"],
+                "direct_predictions": out["direct_predictions"],
+                "causal_graphs": out["adjacency_matrices"],
+                "labels": batch["labels"]}
+
+    return Task(model, tx, init_state, train_step, eval_step)
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_task(cfg: ExperimentConfig) -> Task:
+    table: Dict[type, Callable[[ExperimentConfig], Task]] = {
+        FamilyDConfig: _family_d_task,
+        FamilyCConfig: _family_c_task,
+        FamilyBConfig: _family_b_task,
+        FamilyAConfig: _family_a_task,
+    }
+    fn = table.get(type(cfg.model))
+    if fn is None:
+        raise KeyError(
+            f"no training task for {type(cfg.model).__name__} "
+            "(family E is inference-only, as in the reference)")
+    return fn(cfg)

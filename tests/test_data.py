@@ -1,0 +1,158 @@
+"""Data-pipeline tests: fixture tree, scanning/windowing, label policies,
+decode backends (incl. the native C++ core), batching."""
+
+import numpy as np
+import pytest
+
+from cvad_tpu.config import DataConfig
+from cvad_tpu.data import (BatchLoader, ClipDataset, SyntheticClipDataset,
+                           clip_windows, make_synthetic_clips,
+                           scan_video_folders, write_synthetic_video_tree)
+from cvad_tpu.data.datasets import UCSDPed2Dataset, create_avenue_dataloaders
+from cvad_tpu.data.frames import ClipSpec
+from cvad_tpu.data.labels import assign_labels
+
+
+@pytest.fixture(scope="module")
+def video_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ucsd")
+    write_synthetic_video_tree(str(root), videos_per_split=2,
+                               frames_per_video=20, hw=(32, 32), fmt="pgm")
+    return str(root)
+
+
+def test_scan_and_windows(video_tree):
+    videos = scan_video_folders(video_tree + "/Train")
+    assert len(videos) == 2
+    assert all(len(frames) == 20 for _, frames in videos)
+    clips = clip_windows(videos, clip_len=8, stride=4)
+    # starts 0,4,8,12 per video
+    assert len(clips) == 8
+    assert all(len(c.frames) == 8 for c in clips)
+
+
+def test_gt_folders_excluded(tmp_path):
+    (tmp_path / "Test001").mkdir()
+    (tmp_path / "Test001_gt").mkdir()
+    for d in ("Test001", "Test001_gt"):
+        for i in range(3):
+            (tmp_path / d / f"{i}.pgm").write_bytes(b"P5\n2 2\n255\n" + bytes(4))
+    videos = scan_video_folders(str(tmp_path))
+    assert [v for v, _ in videos] == ["Test001"]
+
+
+def test_max_clips_per_video(video_tree):
+    videos = scan_video_folders(video_tree + "/Train")
+    clips = clip_windows(videos, clip_len=8, stride=2, max_clips_per_video=3)
+    per_video = {}
+    for c in clips:
+        per_video[c.video] = per_video.get(c.video, 0) + 1
+    assert all(v == 3 for v in per_video.values())
+
+
+def test_label_policies():
+    def mkclips(video, n, start_stride, vi):
+        return [ClipSpec(video, tuple(f"f{i}" for i in range(8)), s * start_stride, vi)
+                for s in range(n)]
+
+    clips = mkclips("Test001", 5, 4, 0) + mkclips("Test002", 5, 4, 1)
+    lengths = [24, 24]
+    for policy in ("heuristic_v1", "hardcoded_v2", "split_binary",
+                   "mixed_simple", "none"):
+        train = assign_labels(policy, clips, "Train", lengths)
+        test = assign_labels(policy, clips, "Test", lengths)
+        assert train.shape == test.shape == (10,)
+        assert set(np.unique(train)) <= {0.0, 1.0}
+    # train split is all-normal for the UCSD policies (reference behavior)
+    for policy in ("heuristic_v1", "hardcoded_v2", "split_binary"):
+        assert assign_labels(policy, clips, "Train", lengths).sum() == 0
+    # split_binary test is all-anomalous (video_anomaly_detection.py:40)
+    assert assign_labels("split_binary", clips, "Test", lengths).sum() == 10
+    # hardcoded_v2: video 1 (in anomaly set) middle clips anomalous
+    hv2 = assign_labels("hardcoded_v2", clips, "Test", lengths)
+    assert hv2[:5].sum() > 0
+
+
+def test_clip_dataset_decode(video_tree):
+    cfg = DataConfig(clip_len=8, stride=4, frame_size=(24, 24), channels=1)
+    ds = UCSDPed2Dataset(video_tree, "Train", cfg)
+    clip, label = ds[0]
+    assert clip.shape == (8, 24, 24, 1)
+    assert clip.dtype == np.float32
+    assert 0.0 <= clip.min() and clip.max() <= 1.0
+    assert clip.std() > 0.01  # actually decoded, not zero-fallback
+
+
+def test_native_decoder_matches_written_pixels(tmp_path):
+    from cvad_tpu.data.native_decoder import decode_clip, load_library
+    from cvad_tpu.data.synthetic import _write_pgm, _write_ppm
+
+    lib = load_library()
+    if lib is None:
+        pytest.skip("native decoder unavailable (no toolchain)")
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (16, 16), np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    _write_pgm(tmp_path / "a.pgm", gray)
+    _write_ppm(tmp_path / "b.ppm", rgb)
+    out = decode_clip([str(tmp_path / "a.pgm")], (16, 16), 1)
+    np.testing.assert_allclose(out[0, ..., 0], gray / 255.0, atol=1e-6)
+    out3 = decode_clip([str(tmp_path / "b.ppm")], (16, 16), 3)
+    np.testing.assert_allclose(out3[0], rgb / 255.0, atol=1e-6)
+    # resize path agrees with the numpy bilinear reference
+    from cvad_tpu.data.decode import resize_bilinear
+
+    out_small = decode_clip([str(tmp_path / "b.ppm")], (8, 8), 3)
+    expect = resize_bilinear(rgb.astype(np.float32), (8, 8)) / 255.0
+    np.testing.assert_allclose(out_small[0], expect, atol=1e-5)
+
+
+def test_native_decoder_zero_fallback(tmp_path):
+    from cvad_tpu.data.native_decoder import decode_clip, load_library
+
+    if load_library() is None:
+        pytest.skip("native decoder unavailable")
+    out = decode_clip([str(tmp_path / "missing.pgm")], (8, 8), 1)
+    assert out is not None and np.all(out == 0)
+
+
+def test_normalize_clamp():
+    cfg = DataConfig(normalize_clamp=(0.001, 0.999), channels=1,
+                     frame_size=(16, 16))
+    ds = SyntheticClipDataset(cfg, n=4)
+    clip, _ = ds[0]
+    assert clip.min() >= 0.001 and clip.max() <= 0.999
+
+
+def test_batch_loader(video_tree):
+    cfg = DataConfig(clip_len=8, stride=4, frame_size=(16, 16), channels=1)
+    ds = UCSDPed2Dataset(video_tree, "Train", cfg)
+    loader = BatchLoader(ds, batch_size=3)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3  # 8 clips -> 3,3,2
+    assert batches[0]["clips"].shape == (3, 8, 16, 16, 1)
+    assert batches[-1]["clips"].shape[0] == 2
+    # deterministic order without shuffle
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["clips"], again[0]["clips"])
+
+
+def test_avenue_dataloaders_contract(tmp_path):
+    """The reconstructed missing-module contract: (videos, labels) with
+    videos (B, 3, clip_len, H, W) (SURVEY.md §2.1 last row)."""
+    root = tmp_path / "avenue"
+    write_synthetic_video_tree(str(root), splits=("training", "testing"),
+                               videos_per_split=1, frames_per_video=16,
+                               hw=(32, 32), channels=1, fmt="pgm")
+    train_loader, test_loader = create_avenue_dataloaders(
+        str(root), batch_size=2, clip_length=8, frame_size=(32, 32))
+    batch = next(iter(train_loader))
+    assert batch["clips"].shape == (2, 3, 8, 32, 32)
+    assert batch["labels"].shape == (2,)
+
+
+def test_synthetic_separation():
+    clips, labels = make_synthetic_clips(32, 8, (32, 32), 1, 0.5, seed=1)
+    # anomalous clips have higher temporal variance (learnable signal)
+    tv = clips.std(axis=1).mean(axis=(1, 2, 3))
+    assert tv[labels == 1].mean() > tv[labels == 0].mean()

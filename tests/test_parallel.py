@@ -1,0 +1,95 @@
+"""Data-parallel correctness on the 8-device CPU mesh.
+
+The key invariant: a train step over a batch sharded across 8 devices must
+produce the same parameter update as the same batch on 1 device (XLA's
+gradient psum over the mesh == single-device gradient), so scaling out never
+changes numerics (SURVEY.md §7 step 5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvad_tpu.config import preset
+from cvad_tpu.runtime.mesh import (batch_sharding, create_mesh,
+                                   pad_to_multiple, replicated, shard_batch)
+from cvad_tpu.train.tasks import build_task
+
+
+def _cfg(tmp_path):
+    cfg = preset("family_d")
+    return cfg.replace(
+        data=cfg.data.replace(batch_size=16, frame_size=(16, 16)),
+        train=cfg.train.replace(out_dir=str(tmp_path)))
+
+
+def _batch(n=16, hw=(16, 16)):
+    rng = np.random.default_rng(0)
+    return {
+        "clips": rng.uniform(0, 1, (n, 8, *hw, 3)).astype(np.float32),
+        "labels": np.zeros(n, np.float32),
+    }
+
+
+def test_dp_step_matches_single_device(tmp_path, cpu_devices):
+    cfg = _cfg(tmp_path)
+    task = build_task(cfg)
+    host = _batch()
+    state = task.init_state(jax.random.key(0), jax.tree.map(jnp.asarray, host))
+    rng = jax.random.key(42)
+
+    results = {}
+    for n in (1, 8):
+        mesh = create_mesh(devices=cpu_devices[:n])
+        rep = replicated(mesh)
+        st = jax.device_put(state, rep)
+        step = jax.jit(task.train_step,
+                       in_shardings=(rep, batch_sharding(mesh), rep))
+        new_state, metrics = step(st, shard_batch(mesh, host),
+                                  jax.device_put(rng, rep))
+        results[n] = (jax.device_get(new_state.params),
+                      float(jax.device_get(metrics["loss"])))
+
+    p1, l1 = results[1]
+    p8, l8 = results[8]
+    assert abs(l1 - l8) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_batch_padding():
+    batch = _batch(n=13)
+    padded, valid = pad_to_multiple(batch, 8)
+    assert valid == 13
+    assert padded["clips"].shape[0] == 16
+    np.testing.assert_array_equal(padded["clips"][13], batch["clips"][12])
+
+
+def test_mesh_shapes(cpu_devices):
+    m = create_mesh(devices=cpu_devices)
+    assert m.shape == {"data": 8, "time": 1}
+    m2 = create_mesh(temporal_axis=2, devices=cpu_devices)
+    assert m2.shape == {"data": 4, "time": 2}
+
+
+def test_eval_sharded_outputs(tmp_path, cpu_devices):
+    cfg = _cfg(tmp_path)
+    task = build_task(cfg)
+    host = _batch()
+    mesh = create_mesh(devices=cpu_devices)
+    rep = replicated(mesh)
+    state = jax.device_put(
+        task.init_state(jax.random.key(0), jax.tree.map(jnp.asarray, host)), rep)
+    ev = jax.jit(task.eval_step, in_shardings=(rep, batch_sharding(mesh)))
+    out = jax.device_get(ev(state, shard_batch(mesh, host)))
+    assert out["predictions"].shape == (16,)
+    assert out["causal_graphs"].shape == (16, 16, 16)
+    assert np.isfinite(out["predictions"]).all()
+
+
+def test_graft_entry_dryrun(cpu_devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

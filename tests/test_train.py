@@ -1,0 +1,169 @@
+"""Training-engine tests: scheduler parity with torch, NaN-skip guard,
+short end-to-end runs per family, history contract."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvad_tpu.config import OptimConfig, preset
+from cvad_tpu.data.batcher import BatchLoader
+from cvad_tpu.data.datasets import SyntheticClipDataset
+from cvad_tpu.runtime.mesh import create_mesh
+from cvad_tpu.train.engine import Trainer, make_loaders
+from cvad_tpu.train.optim import HostScheduler, build_optimizer, get_lr, set_lr
+from cvad_tpu.train.tasks import build_task
+
+
+def _small(cfg, tmp_path, epochs=2, batch=8, hw=(24, 24)):
+    return cfg.replace(
+        data=cfg.data.replace(batch_size=batch, frame_size=hw),
+        train=cfg.train.replace(num_epochs=epochs, eval_every=1,
+                                save_interval=0, log_every=10**9,
+                                out_dir=str(tmp_path)),
+    )
+
+
+def _mesh1():
+    return create_mesh(devices=jax.devices("cpu")[:1])
+
+
+# -- schedulers --------------------------------------------------------------
+
+
+def test_plateau_scheduler_matches_torch():
+    torch = pytest.importorskip("torch")
+    cfg = OptimConfig(lr=0.1, schedule="plateau", plateau_factor=0.5,
+                      plateau_patience=2)
+    ours = HostScheduler(cfg)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=2)
+    losses = [1.0, 0.9, 0.9, 0.9, 0.9, 0.9, 0.5, 0.5, 0.5, 0.5, 0.6, 0.7]
+    for loss in losses:
+        ours.step(loss)
+        sch.step(loss)
+        assert abs(ours.lr - opt.param_groups[0]["lr"]) < 1e-12, (
+            ours.lr, opt.param_groups[0]["lr"])
+
+
+def test_step_scheduler_matches_torch():
+    torch = pytest.importorskip("torch")
+    cfg = OptimConfig(lr=1e-3, schedule="step", step_size=3, step_gamma=0.7)
+    ours = HostScheduler(cfg)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-3)
+    sch = torch.optim.lr_scheduler.StepLR(opt, step_size=3, gamma=0.7)
+    for _ in range(10):
+        ours.step(None)
+        sch.step()
+        assert abs(ours.lr - opt.param_groups[0]["lr"]) < 1e-15
+
+
+def test_cosine_scheduler_matches_torch():
+    torch = pytest.importorskip("torch")
+    cfg = OptimConfig(lr=1e-2, schedule="cosine", cosine_steps=10)
+    ours = HostScheduler(cfg, total_epochs=10)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-2)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10)
+    for _ in range(10):
+        ours.step(None)
+        sch.step()
+        assert abs(ours.lr - opt.param_groups[0]["lr"]) < 1e-9
+
+
+def test_injected_lr_roundtrip():
+    cfg = OptimConfig(lr=5e-4)
+    tx = build_optimizer(cfg)
+    params = {"w": jnp.zeros((3,))}
+    st = tx.init(params)
+    assert abs(get_lr(st) - 5e-4) < 1e-9
+    st2 = set_lr(st, 1e-5)
+    assert abs(get_lr(st2) - 1e-5) < 1e-9
+    # updated state still usable
+    updates, _ = tx.update({"w": jnp.ones((3,))}, st2, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+# -- NaN guard ---------------------------------------------------------------
+
+
+def test_nan_batch_skipped(tmp_path):
+    cfg = _small(preset("family_d"), tmp_path, hw=(16, 16))
+    task = build_task(cfg)
+    batch = {"clips": jnp.ones((4, 8, 16, 16, 3)) * 0.5,
+             "labels": jnp.zeros(4)}
+    state = task.init_state(jax.random.key(0), batch)
+    bad = {"clips": batch["clips"].at[0, 0, 0, 0, 0].set(jnp.nan),
+           "labels": batch["labels"]}
+    new_state, metrics = task.train_step(state, bad, jax.random.key(1))
+    # params unchanged on NaN loss (reference skip-batch semantics)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == 1  # step counter still advances
+
+
+# -- end-to-end short runs ---------------------------------------------------
+
+
+def test_family_d_fit_and_history_contract(tmp_path):
+    cfg = _small(preset("family_d"), tmp_path)
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=16)
+    hist = tr.fit(train_loader, eval_loader)
+    # history JSON contract (improved_training_history.json schema)
+    with open(tmp_path / "improved_training_history.json") as f:
+        on_disk = json.load(f)
+    assert set(on_disk) == {"train_losses", "loss_components",
+                            "evaluation_metrics", "epochs", "learning_rates"}
+    assert on_disk["epochs"] == [1, 2]
+    assert len(on_disk["evaluation_metrics"]) == 2
+    assert set(on_disk["evaluation_metrics"][0]) >= {
+        "mean_score", "std_score", "min_score", "max_score", "score_range",
+        "avg_edges", "avg_sparsity", "unique_graphs"}
+    assert all(np.isfinite(l) for l in on_disk["train_losses"])
+    # best checkpoint written
+    assert (tmp_path / "checkpoints" / "best").exists()
+
+
+def test_family_c_learns_synthetic(tmp_path):
+    cfg = _small(preset("family_c"), tmp_path, epochs=5, hw=(24, 24))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=48)
+    hist = tr.fit(train_loader, eval_loader)
+    evals = hist["evaluation_metrics"]
+    # supervised 3D CNN separates synthetic normal/anomalous: AUC > chance
+    assert evals[-1]["auc"] > 0.6, evals[-1]
+
+
+def test_family_b_fit(tmp_path):
+    cfg = preset("family_b")
+    cfg = _small(cfg, tmp_path, epochs=2, batch=6, hw=(64, 64))
+    cfg = cfg.replace(optim=cfg.optim.replace(lr=1e-4))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=12)
+    hist = tr.fit(train_loader, eval_loader)
+    assert len(hist["train_losses"]) == 2
+    assert all(np.isfinite(l) for l in hist["train_losses"])
+    # memory bank accumulated normal features during training
+    assert int(tr.state.extra.fill) > 0
+    ev = hist["evaluation_metrics"][-1]
+    assert "auc" in ev and "normal_mean" in ev
+
+
+def test_family_a_fit(tmp_path):
+    cfg = preset("family_a")
+    cfg = cfg.replace(model=cfg.model.replace(frame_hw=(32, 48)),
+                      data=cfg.data.replace(frame_size=(32, 48), clip_len=4,
+                                            batch_size=4))
+    cfg = _small(cfg, tmp_path, epochs=1, batch=4, hw=(32, 48))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=8)
+    hist = tr.fit(train_loader, eval_loader)
+    assert np.isfinite(hist["train_losses"][0])
+    assert "val_acc" in hist["evaluation_metrics"][0]
