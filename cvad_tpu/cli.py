@@ -1,0 +1,214 @@
+"""Command-line drivers (L6), mirroring the reference's entry scripts.
+
+  cvad train      — the five training recipes as presets
+                    (avenue_training_script2.py main, minicausal_vad_complete3,
+                    causal_anomaly_detection{,1}, video_anomaly_detection)
+  cvad score      — sliding-window full-video scoring + anomalous-clip
+                    extraction (avenue_training_script_bbox.py inference path)
+  cvad report     — bbox visualization + JSON/HTML report (AnomalyVisualizer)
+  cvad diagnose   — training-history diagnosis (avenue_training_script2:474)
+  cvad plots      — history dashboard (avenue_training_script1:228-291)
+  cvad convert    — torch .pth <-> framework checkpoint conversion
+
+Usage: ``python -m cvad_tpu.cli <command> [...]``.  Every hard-coded constant
+of the reference is a ``--set section.key=value`` override here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from cvad_tpu.config import DataConfig, ExperimentConfig, preset
+
+
+def _apply_overrides(cfg: ExperimentConfig, overrides) -> ExperimentConfig:
+    for item in overrides or []:
+        key, _, raw = item.partition("=")
+        section, _, field = key.partition(".")
+        sub = getattr(cfg, section)
+        cur = getattr(sub, field)  # raises for unknown keys — fail loudly
+        value = _coerce(raw, cur)
+        cfg = cfg.replace(**{section: sub.replace(**{field: value})})
+    return cfg
+
+
+def _coerce(raw: str, like):
+    if isinstance(like, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(like, int) and not isinstance(like, bool):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    if isinstance(like, tuple):
+        parts = [p for p in raw.replace("(", "").replace(")", "").split(",") if p]
+        elem = like[0] if like else 0
+        return tuple(type(elem)(p) for p in parts)
+    return raw
+
+
+def cmd_train(args) -> int:
+    from cvad_tpu.train.engine import Trainer, make_loaders
+
+    cfg = preset(args.preset)
+    if args.epochs is not None:
+        cfg = cfg.replace(train=cfg.train.replace(num_epochs=args.epochs))
+    if args.data_root:
+        cfg = cfg.replace(data=cfg.data.replace(
+            root=args.data_root,
+            dataset=args.dataset or cfg.data.dataset))
+    elif args.dataset:
+        cfg = cfg.replace(data=cfg.data.replace(dataset=args.dataset))
+    if args.out:
+        cfg = cfg.replace(train=cfg.train.replace(out_dir=args.out))
+    cfg = _apply_overrides(cfg, args.set)
+
+    out = Path(cfg.train.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "config.json").write_text(cfg.to_json())
+
+    trainer = Trainer(cfg)
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=args.n_synthetic)
+    history = trainer.fit(train_loader, eval_loader)
+    print(json.dumps({"final_loss": history["train_losses"][-1],
+                      "epochs": len(history["epochs"])}))
+    return 0
+
+
+def cmd_score(args) -> int:
+    from cvad_tpu.evaluation.scoring import VideoScorer, make_family_d_score_fn
+    from cvad_tpu.runtime.checkpoint import import_torch_family_d
+    from cvad_tpu.utils.json_utils import safe_json_save
+
+    variables = import_torch_family_d(args.checkpoint)
+    cfg = DataConfig(clip_len=args.clip_len, stride=args.stride,
+                     frame_size=(args.frame_size, args.frame_size), channels=3)
+    scorer = VideoScorer(make_family_d_score_fn(variables), cfg)
+    clips = scorer.extract_anomalous_clips(args.video_root,
+                                           threshold=args.threshold,
+                                           max_clips=args.max_clips)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    safe_json_save([dataclasses.asdict(c) | {"causal_graph": None}
+                    for c in clips], out / "anomalous_clips.json",
+                   verbose=False)
+    print(json.dumps({"anomalous_clips": len(clips),
+                      "max_score": max((c.score for c in clips), default=0.0)}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from cvad_tpu.evaluation.bbox import AnomalyVisualizer
+    from cvad_tpu.evaluation.scoring import VideoScorer, make_family_d_score_fn
+    from cvad_tpu.runtime.checkpoint import import_torch_family_d
+
+    variables = import_torch_family_d(args.checkpoint)
+    cfg = DataConfig(clip_len=args.clip_len, stride=args.stride,
+                     frame_size=(args.frame_size, args.frame_size), channels=3)
+    scorer = VideoScorer(make_family_d_score_fn(variables), cfg)
+    clips = scorer.extract_anomalous_clips(args.video_root,
+                                           threshold=args.threshold,
+                                           max_clips=args.max_clips)
+    viz = AnomalyVisualizer(scorer, detector_backend=args.detector)
+    summary = viz.create_report(clips, args.out)
+    print(json.dumps({"clips": summary["total_clips_analyzed"],
+                      "report": str(Path(args.out) / "anomaly_detection_report.html")}))
+    return 0
+
+
+def cmd_diagnose(args) -> int:
+    from cvad_tpu.utils.diagnose import diagnose_training_issues
+
+    result = diagnose_training_issues(history_file=args.history)
+    print(json.dumps(result["warnings"]))
+    return 0
+
+
+def cmd_plots(args) -> int:
+    from cvad_tpu.evaluation.plots import visualize_training_results
+    from cvad_tpu.utils.json_utils import safe_json_load
+
+    history = safe_json_load(args.history)
+    if history is None:
+        print(f"cannot read history: {args.history}", file=sys.stderr)
+        return 1
+    path = visualize_training_results(history, args.out)
+    print(path or "matplotlib unavailable")
+    return 0 if path else 1
+
+
+def cmd_convert(args) -> int:
+    import jax
+
+    from cvad_tpu.runtime.checkpoint import (CheckpointManager,
+                                             import_torch_family_d)
+
+    variables = import_torch_family_d(args.torch_checkpoint)
+    mgr = CheckpointManager(args.out)
+    mgr.save("imported", variables, wait=True)
+    n = sum(int(np.asarray(p).size)
+            for p in jax.tree_util.tree_leaves(variables))
+    print(json.dumps({"params": n, "out": str(Path(args.out) / "imported")}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cvad", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model family preset")
+    t.add_argument("--preset", default="avenue_improved",
+                   help="avenue_improved|mini3d|memory_ae|causal_pipeline")
+    t.add_argument("--dataset", default=None,
+                   help="synthetic|avenue|ucsd_ped2")
+    t.add_argument("--data-root", default=None)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--out", default=None)
+    t.add_argument("--n-synthetic", type=int, default=256)
+    t.add_argument("--set", action="append", metavar="SEC.KEY=VAL",
+                   help="config override, e.g. --set optim.lr=1e-4")
+    t.set_defaults(fn=cmd_train)
+
+    for name, fn in (("score", cmd_score), ("report", cmd_report)):
+        s = sub.add_parser(name)
+        s.add_argument("video_root")
+        s.add_argument("--checkpoint",
+                       default="/root/reference/best_improved_model.pth")
+        s.add_argument("--threshold", type=float, default=0.3)
+        s.add_argument("--clip-len", type=int, default=8)
+        s.add_argument("--stride", type=int, default=4)
+        s.add_argument("--frame-size", type=int, default=64)
+        s.add_argument("--max-clips", type=int, default=10)
+        s.add_argument("--out", default="anomaly_output")
+        if name == "report":
+            s.add_argument("--detector", default="auto")
+        s.set_defaults(fn=fn)
+
+    d = sub.add_parser("diagnose")
+    d.add_argument("history")
+    d.set_defaults(fn=cmd_diagnose)
+
+    pl = sub.add_parser("plots")
+    pl.add_argument("history")
+    pl.add_argument("--out", default="training_results.png")
+    pl.set_defaults(fn=cmd_plots)
+
+    c = sub.add_parser("convert")
+    c.add_argument("torch_checkpoint")
+    c.add_argument("--out", default="converted_ckpt")
+    c.set_defaults(fn=cmd_convert)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

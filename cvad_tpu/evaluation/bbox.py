@@ -1,0 +1,307 @@
+"""Bbox-localized anomaly visualization and reporting.
+
+Rebuilds ``avenue_training_script_bbox.py:103-660`` (`AnomalyVisualizer`) on
+framework primitives: per-clip annotated frame grids with score-tiered box
+colors (>0.4 red "ANOMALY", 0.3-0.4 yellow "SUSPICIOUS", else green "NORMAL",
+reference ``:470-491``), MP4 writer (``:548-566``), 16x16 causal-graph
+heatmaps (``:568-600``), per-clip JSON (``:527-537``), the aggregate JSON
+report (``:602-652``), and the HTML report the reference *calls but never
+defines* (``:655`` — a latent AttributeError there; implemented here).
+
+Unlike the reference's stand-in model (whose checkpoint load always fails and
+falls back to random weights, ``:150-155``), this pipeline takes any scorer —
+in particular the real checkpoint-parity family-D model.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from cvad_tpu.evaluation.detectors import Detection, get_detector
+from cvad_tpu.evaluation.scoring import ScoredClip, VideoScorer
+from cvad_tpu.utils.json_utils import safe_json_save
+
+COLORS = {  # RGB, reference color tiers
+    "anomaly": (255, 0, 0),
+    "suspicious": (255, 255, 0),
+    "normal": (0, 255, 0),
+}
+
+
+def score_tier(score: float) -> str:
+    if score > 0.4:
+        return "anomaly"
+    if score > 0.3:
+        return "suspicious"
+    return "normal"
+
+
+def _load_rgb(path: str) -> Optional[np.ndarray]:
+    from cvad_tpu.data.decode import decode_frame
+
+    arr = decode_frame(path, _probe_size(path), grayscale=False)
+    return (arr * 255).astype(np.uint8)
+
+
+def _probe_size(path: str):
+    """Native size for display frames (decode_frame requires a target)."""
+    try:
+        from cvad_tpu.data.native_decoder import load_library
+        import ctypes
+
+        lib = load_library()
+        if lib is not None and path.lower().endswith((".pgm", ".ppm", ".bmp")):
+            h = ctypes.c_int(); w = ctypes.c_int(); c = ctypes.c_int()
+            if lib.cvad_probe(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                              ctypes.byref(c)) == 0:
+                return (h.value, w.value)
+    except Exception:
+        pass
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return (im.height, im.width)
+    except Exception:
+        return (240, 360)
+
+
+def annotate_frame(frame: np.ndarray, detections: List[Detection],
+                   clip_score: float) -> np.ndarray:
+    """Draw score-tiered boxes + labels.  Pure numpy drawing (2px rects),
+    dependency-free; cv2 text is used when available for parity of look."""
+    out = frame.copy()
+    tier = score_tier(clip_score)
+    color = np.array(COLORS[tier], np.uint8)
+    label = {"anomaly": "ANOMALY", "suspicious": "SUSPICIOUS",
+             "normal": "NORMAL"}[tier]
+    try:
+        import cv2
+
+        for det in detections:
+            x1, y1, x2, y2 = det.bbox
+            cv2.rectangle(out, (x1, y1), (x2, y2), color.tolist(), 2)
+            text = f"{label}: {det.confidence:.2f}"
+            sz = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 2)[0]
+            cv2.rectangle(out, (x1, max(y1 - sz[1] - 10, 0)),
+                          (x1 + sz[0], y1), color.tolist(), -1)
+            cv2.putText(out, text, (x1, max(y1 - 5, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 2)
+        return out
+    except Exception:
+        h, w = out.shape[:2]
+        for det in detections:
+            x1, y1, x2, y2 = [int(np.clip(v, 0, m - 1)) for v, m in
+                              zip(det.bbox, (w, h, w, h))]
+            out[y1:y2 + 1, x1:x1 + 2] = color
+            out[y1:y2 + 1, max(x2 - 1, 0):x2 + 1] = color
+            out[y1:y1 + 2, x1:x2 + 1] = color
+            out[max(y2 - 1, 0):y2 + 1, x1:x2 + 1] = color
+        return out
+
+
+def write_mp4(frames: List[np.ndarray], path: str, fps: int = 2) -> bool:
+    """MP4 writer (reference ``create_video_from_frames`` ``:548-566``)."""
+    if not frames:
+        return False
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        for f in frames:
+            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return True
+    except Exception:
+        return False
+
+
+def plot_causal_graph(graph: np.ndarray, path: str) -> bool:
+    """16x16 adjacency heatmap (reference ``:568-600``)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(12, 10))
+        im = ax.imshow(graph, cmap="Reds", vmin=0, vmax=1)
+        plt.colorbar(im, ax=ax).set_label("Causal Strength", rotation=270,
+                                          labelpad=20)
+        ax.set_xlabel("Target Variables")
+        ax.set_ylabel("Source Variables")
+        ax.set_title("Learned Causal Graph\n(Red = Strong Causal Relationship)")
+        n = graph.shape[0]
+        ax.set_xticks(range(n))
+        ax.set_yticks(range(n))
+        ax.grid(True, alpha=0.3)
+        for i, j in zip(*np.where(graph > 0.5)):
+            ax.text(j, i, f"{graph[i, j]:.2f}", ha="center", va="center",
+                    color="white", fontweight="bold")
+        fig.tight_layout()
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return True
+    except Exception:
+        return False
+
+
+class AnomalyVisualizer:
+    """End-to-end inference driver: score videos, localize, render reports."""
+
+    def __init__(self, scorer: VideoScorer, detector_backend: str = "auto"):
+        self.scorer = scorer
+        self.detector = get_detector(detector_backend)
+        self.detector_backend = detector_backend
+
+    def visualize_clip(self, clip: ScoredClip, output_dir: str) -> Dict:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        end = clip.start + len(clip.frames) - 1
+        clip_id = f"video_{clip.video}_frames_{clip.start}_{end}"
+
+        annotated: List[np.ndarray] = []
+        person_counts: List[int] = []
+        for fp in clip.frames:
+            frame = _load_rgb(fp)
+            if frame is None:
+                continue
+            persons = self.detector(frame)
+            person_counts.append(len(persons))
+            annotated.append(annotate_frame(frame, persons, clip.score))
+
+        grid_path = out / f"{clip_id}_grid.png"
+        self._plot_grid(annotated, person_counts, clip, grid_path)
+
+        video_path = out / f"{clip_id}_annotated.mp4"
+        have_video = write_mp4(annotated, str(video_path))
+
+        graph_path = None
+        if clip.causal_graph is not None:
+            graph_path = out / f"{clip_id}_causal_graph.png"
+            plot_causal_graph(np.asarray(clip.causal_graph), str(graph_path))
+
+        info_path = out / f"{clip_id}_info.json"
+        safe_json_save({
+            "clip_id": clip_id,
+            "anomaly_score": clip.score,
+            "video_id": clip.video,
+            "frame_range": [clip.start, end],
+            "detection_backend": self.detector_backend,
+        }, info_path, verbose=False)
+        return {
+            "clip_id": clip_id,
+            "grid_image": grid_path if grid_path.exists() else None,
+            "annotated_video": video_path if have_video else None,
+            "causal_graph": graph_path,
+            "info_file": info_path,
+        }
+
+    def _plot_grid(self, frames: List[np.ndarray], person_counts: List[int],
+                   clip: ScoredClip, path: Path) -> bool:
+        """2x4 annotated-frame grid (reference ``:443-515``)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(2, 4, figsize=(20, 10))
+            fig.suptitle(
+                f"Anomalous Clip: video {clip.video} frames "
+                f"{clip.start}-{clip.start + len(clip.frames) - 1}\n"
+                f"Anomaly Score: {clip.score:.3f}",
+                fontsize=16, fontweight="bold")
+            for i in range(8):
+                ax = axes[divmod(i, 4)]
+                if i < len(frames):
+                    ax.imshow(frames[i])
+                    ax.set_title(f"Frame {clip.start + i}\n"
+                                 f"Persons: {person_counts[i]}")
+                ax.axis("off")
+            fig.tight_layout()
+            fig.savefig(path, dpi=150, bbox_inches="tight")
+            plt.close(fig)
+            return True
+        except Exception:
+            return False
+
+    def create_report(self, clips: List[ScoredClip], output_dir: str) -> Dict:
+        """Aggregate JSON + HTML report (reference ``:602-660``; the HTML
+        report is implemented here — the reference calls an undefined
+        method)."""
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        results = [self.visualize_clip(c, out / f"clip_{i + 1:03d}")
+                   for i, c in enumerate(clips)]
+
+        video_distribution: Dict[str, int] = {}
+        for c in clips:
+            video_distribution[c.video] = video_distribution.get(c.video, 0) + 1
+        summary = {
+            "total_clips_analyzed": len(clips),
+            "detection_backend": self.detector_backend,
+            "anomaly_scores": [c.score for c in clips],
+            "video_distribution": video_distribution,
+            "clips": [{
+                "clip_id": f"clip_{i + 1:03d}",
+                "anomaly_score": c.score,
+                "video_id": c.video,
+                "frame_range": [c.start, c.start + len(c.frames) - 1],
+                "files": {
+                    "grid_image": r["grid_image"].name if r["grid_image"] else None,
+                    "annotated_video": (r["annotated_video"].name
+                                        if r["annotated_video"] else None),
+                    "causal_graph": (r["causal_graph"].name
+                                     if r["causal_graph"] else None),
+                },
+            } for i, (c, r) in enumerate(zip(clips, results))],
+        }
+        safe_json_save(summary, out / "anomaly_detection_report.json",
+                       verbose=False)
+        self.create_html_report(summary, out)
+        return summary
+
+    def create_html_report(self, summary: Dict, output_dir) -> Path:
+        """The HTML report the reference promises at ``:655`` but never
+        defines: a standalone page linking each clip's artifacts."""
+        rows = []
+        for clip in summary["clips"]:
+            files = clip["files"]
+            links = " | ".join(
+                f'<a href="{html.escape(clip["clip_id"])}/{html.escape(v)}">{k}</a>'
+                for k, v in files.items() if v)
+            tier = score_tier(clip["anomaly_score"])
+            rows.append(
+                f'<tr class="{tier}"><td>{html.escape(clip["clip_id"])}</td>'
+                f'<td>{html.escape(str(clip["video_id"]))}</td>'
+                f'<td>{clip["frame_range"][0]}-{clip["frame_range"][1]}</td>'
+                f'<td>{clip["anomaly_score"]:.3f}</td><td>{links}</td></tr>')
+        doc = f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>Anomaly Detection Report</title>
+<style>
+body {{ font-family: sans-serif; margin: 2em; }}
+table {{ border-collapse: collapse; width: 100%; }}
+td, th {{ border: 1px solid #ccc; padding: 6px 10px; text-align: left; }}
+tr.anomaly td {{ background: #ffe5e5; }}
+tr.suspicious td {{ background: #fff8dc; }}
+tr.normal td {{ background: #eaffea; }}
+</style></head><body>
+<h1>Anomaly Detection Report</h1>
+<p>Clips analyzed: {summary["total_clips_analyzed"]} ·
+Detection backend: {html.escape(str(summary["detection_backend"]))}</p>
+<table><tr><th>Clip</th><th>Video</th><th>Frames</th><th>Score</th>
+<th>Artifacts</th></tr>
+{''.join(rows)}
+</table></body></html>
+"""
+        path = Path(output_dir) / "anomaly_detection_report.html"
+        path.write_text(doc)
+        return path

@@ -1,0 +1,159 @@
+"""Sliding-window video anomaly scoring (inference/serving path).
+
+Rebuilds ``avenue_training_script_bbox.py:328-430`` (`predict_anomaly_for_clip`
++ `extract_anomalous_frames`) TPU-first: instead of the reference's
+one-clip-at-a-time host loop (decode -> to(device) -> forward -> .cpu()), all
+windows of a video are decoded through the batched data path and scored by a
+single jitted batched forward per chunk, with per-frame score curves produced
+by averaging overlapping window scores (the standard VAD frame-score
+aggregation the reference approximates frame-by-frame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cvad_tpu.config import DataConfig
+from cvad_tpu.data.datasets import ClipDataset
+from cvad_tpu.data.frames import clip_windows, scan_video_folders
+
+
+@dataclasses.dataclass
+class ScoredClip:
+    """One above-threshold window (reference's anomalous-clip record,
+    ``:416-427``)."""
+
+    video: str
+    start: int
+    score: float
+    frames: Tuple[str, ...]
+    causal_graph: Optional[np.ndarray] = None
+
+
+class VideoScorer:
+    """Scores whole videos with a clip-level model.
+
+    `score_fn(clips)` maps a (B, T, H, W, C) batch to per-clip scores in
+    [0, 1] (and optionally extras like causal graphs); build one with
+    `make_family_d_score_fn` or pass any model's jitted forward.
+    """
+
+    def __init__(self, score_fn: Callable, cfg: DataConfig,
+                 batch_size: int = 64):
+        self.score_fn = score_fn
+        self.cfg = cfg
+        self.batch_size = batch_size
+
+    def score_video(self, frames: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Score every sliding window of one video.
+
+        Returns dict with window 'starts', 'scores', optional 'graphs', and
+        the aggregated per-frame score curve 'frame_scores'.
+        """
+        cfg = self.cfg
+        video = [("v", list(frames))]
+        clips = clip_windows(video, cfg.clip_len, cfg.stride)
+        ds = ClipDataset(clips, np.zeros(len(clips), np.float32), cfg)
+        starts = np.array([c.start for c in clips])
+        scores = np.empty(len(clips), np.float32)
+        graphs: List[np.ndarray] = []
+        for s in range(0, len(clips), self.batch_size):
+            idx = range(s, min(s + self.batch_size, len(clips)))
+            batch = np.stack([ds[i][0] for i in idx])
+            out = self.score_fn(batch)
+            if isinstance(out, tuple):
+                clip_scores, extra = out[0], out[1]
+                graphs.append(np.asarray(extra))
+            else:
+                clip_scores = out
+            scores[s:s + len(batch)] = np.asarray(clip_scores).reshape(-1)
+
+        frame_scores = aggregate_frame_scores(starts, scores, cfg.clip_len,
+                                              len(frames))
+        result: Dict[str, np.ndarray] = {
+            "starts": starts, "scores": scores, "frame_scores": frame_scores}
+        if graphs:
+            result["graphs"] = np.concatenate(graphs)
+        return result
+
+    def extract_anomalous_clips(self, video_root: str, threshold: float = 0.3,
+                                max_clips: Optional[int] = None
+                                ) -> List[ScoredClip]:
+        """Scan all videos under `video_root`, keep windows scoring above
+        `threshold` (reference ``extract_anomalous_frames`` semantics,
+        default threshold 0.3 at ``:359``)."""
+        out: List[ScoredClip] = []
+        for name, frames in scan_video_folders(video_root):
+            res = self.score_video(frames)
+            graphs = res.get("graphs")
+            for i, (start, score) in enumerate(zip(res["starts"], res["scores"])):
+                if score > threshold:
+                    out.append(ScoredClip(
+                        video=name, start=int(start), score=float(score),
+                        frames=tuple(frames[start:start + self.cfg.clip_len]),
+                        causal_graph=None if graphs is None else graphs[i]))
+        out.sort(key=lambda c: c.score, reverse=True)
+        return out[:max_clips] if max_clips else out
+
+
+def aggregate_frame_scores(starts: np.ndarray, scores: np.ndarray,
+                           clip_len: int, n_frames: int) -> np.ndarray:
+    """Per-frame curve: mean score of all windows covering each frame."""
+    acc = np.zeros(n_frames, np.float64)
+    cnt = np.zeros(n_frames, np.float64)
+    for s, sc in zip(starts, scores):
+        acc[s:s + clip_len] += sc
+        cnt[s:s + clip_len] += 1
+    cnt[cnt == 0] = 1
+    return (acc / cnt).astype(np.float32)
+
+
+def make_family_d_score_fn(variables, model=None) -> Callable:
+    """Jitted family-D scorer: batch -> (scores, adjacency)."""
+    import jax
+
+    from cvad_tpu.models import CausalAnomalyDetector
+
+    m = model or CausalAnomalyDetector()
+
+    @jax.jit
+    def fwd(v, clips):
+        scores, adj, _ = m.apply(v, clips, deterministic=True)
+        return scores.reshape(-1), adj
+
+    def score(batch: np.ndarray):
+        import jax.numpy as jnp
+
+        s, adj = fwd(variables, jnp.asarray(batch))
+        return np.asarray(s), np.asarray(adj)
+
+    return score
+
+
+def make_family_b_score_fn(variables, memory, loss_cfg=None, model=None
+                           ) -> Callable:
+    """Family-B combined scorer: 0.7 recon MSE + 0.3 memory distance
+    (``causal_anomaly_detection1.py:552``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvad_tpu.config import LossConfig
+    from cvad_tpu.models import MemoryVideoAutoEncoder
+
+    m = model or MemoryVideoAutoEncoder()
+    w = loss_cfg or LossConfig()
+
+    @jax.jit
+    def fwd(v, mem, clips):
+        out = m.apply(v, clips, mem, train=False)
+        recon_err = jnp.mean((out["reconstructed"] - clips) ** 2,
+                             axis=(1, 2, 3, 4))
+        return w.b_score_recon * recon_err + w.b_score_memory * out["anomaly_score"]
+
+    def score(batch: np.ndarray):
+        return np.asarray(fwd(variables, memory, jnp.asarray(batch)))
+
+    return score

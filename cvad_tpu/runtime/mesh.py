@@ -43,8 +43,13 @@ def create_mesh(
     ``data_axis=0`` means "use all remaining devices on the data axis".
     A plain single-device run yields a trivial 1x1 mesh, so all code paths go
     through the same sharded jit — there is no separate single-device path.
+    The ``CVAD_PLATFORM`` env var pins the device platform (e.g. ``cpu`` for
+    the CPU-simulated mesh in tests).
     """
-    devs = list(devices if devices is not None else jax.devices())
+    import os
+
+    platform = os.environ.get("CVAD_PLATFORM") or None
+    devs = list(devices if devices is not None else jax.devices(platform))
     n = len(devs)
     t = max(1, temporal_axis)
     if n % t != 0:

@@ -12,8 +12,15 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# keep framework mesh construction (and thus compiles) on CPU in tests
+os.environ.setdefault("CVAD_PLATFORM", "cpu")
 
 import jax  # noqa: E402
+
+# persistent compile cache: repeated suite runs skip recompiles
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/cvad_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
