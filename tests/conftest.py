@@ -17,10 +17,9 @@ os.environ.setdefault("CVAD_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 
-# persistent compile cache: repeated suite runs skip recompiles
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/cvad_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: no persistent compilation cache here — the axon remote-compile
+# service shares it and pollutes it with executables built for a different
+# host CPU (XLA then warns about SIGILL risk when loading them).
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

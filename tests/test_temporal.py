@@ -1,0 +1,54 @@
+"""Temporal-sharding equivalence: the halo-exchange sharded forward must be
+numerically identical to the unsharded model on the same weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvad_tpu.config import FamilyDConfig
+from cvad_tpu.models import CausalAnomalyDetector
+from cvad_tpu.parallel.temporal import (temporal_sharded_forward,
+                                        temporal_shards_valid)
+from cvad_tpu.runtime.mesh import create_mesh
+
+
+@pytest.mark.parametrize("mesh_shape,t", [((2, 4), 16), ((4, 2), 16),
+                                          ((1, 8), 32)])
+def test_sharded_forward_matches_unsharded(cpu_devices, mesh_shape, t):
+    nd, nt = mesh_shape
+    mesh = create_mesh(data_axis=nd, temporal_axis=nt,
+                       devices=cpu_devices[:nd * nt])
+    cfg = FamilyDConfig()
+    model = CausalAnomalyDetector(cfg)
+    clips = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (nd * 2, t, 32, 32, 3)),
+        jnp.float32)
+    variables = model.init(jax.random.key(0), clips)
+
+    ref_s, ref_adj, ref_f = model.apply(variables, clips, deterministic=True)
+    s, adj, f = temporal_sharded_forward(variables, clips, mesh, cfg)
+
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref_f),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(adj), np.asarray(ref_adj),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s).reshape(-1),
+                               np.asarray(ref_s).reshape(-1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_shard_validity():
+    assert temporal_shards_valid(16, 2)
+    assert temporal_shards_valid(32, 4)
+    assert not temporal_shards_valid(16, 3)
+    assert not temporal_shards_valid(8, 4)  # local T=2 breaks stride-2 convs
+
+
+def test_invalid_shape_raises(cpu_devices):
+    mesh = create_mesh(data_axis=2, temporal_axis=4, devices=cpu_devices)
+    model = CausalAnomalyDetector()
+    clips = jnp.ones((2, 8, 16, 16, 3))  # T=8 over 4 time shards -> local 2
+    v = model.init(jax.random.key(0), clips)
+    with pytest.raises(ValueError):
+        temporal_sharded_forward(v, clips, mesh)
