@@ -1,0 +1,194 @@
+"""Pallas TPU kernels for the hot ops, with XLA fallbacks.
+
+Per SURVEY.md §2 (native-component note), the framework's native-performance
+layer is Pallas kernels for the reference's hot ops.  Kernels here:
+
+- `memory_min_cosine_distance`: the family-B memory-bank search
+  (``causal_anomaly_detection1.py:262-301``) as ONE fused kernel — row
+  normalization of query and memory, the (B, M) similarity matmul on the MXU,
+  fill-masking, row-min, clamp and scale all happen in VMEM with a single
+  HBM read of the memory bank.  The jnp fallback round-trips ~4 intermediates
+  through HBM.
+- `pairwise_l1_mean`: the family-D consistency term's masked mean pairwise
+  L1 distance (``avenue_training_script2.py:161-177``) computed by streaming
+  row blocks, never materializing the (B, B, N) broadcast.
+
+Each op dispatches: compiled Pallas on TPU, interpreter mode when forced
+(tests), plain jnp otherwise.  Numerics are validated against the jnp
+reference in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-8
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# memory-bank min cosine distance
+# ---------------------------------------------------------------------------
+
+
+def _memory_kernel(fill_ref, q_ref, mem_ref, out_ref):
+    """Fused: normalize -> q @ mem^T -> mask cols >= fill -> row-min -> scale."""
+    q = q_ref[:]
+    mem = mem_ref[:]
+    qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True) + _EPS)
+    mn = mem * jax.lax.rsqrt(jnp.sum(mem * mem, axis=1, keepdims=True) + _EPS)
+    sims = jnp.clip(
+        jax.lax.dot_general(qn, mn, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        -1.0, 1.0)  # (B, M)
+    m = sims.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, dimension=1)
+    valid = col < fill_ref[0]
+    dists = jnp.where(valid, 1.0 - sims, jnp.float32(3.0))
+    out_ref[:] = jnp.clip(jnp.min(dists, axis=1, keepdims=True), 0.0, 2.0) / 2.0
+
+
+def memory_min_cosine_distance(query: jnp.ndarray, memory: jnp.ndarray,
+                               fill: jnp.ndarray, *,
+                               use_pallas: Optional[bool] = None,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Min cosine distance of each query row to the first `fill` memory rows,
+    scaled to [0, 1].  query (B, D), memory (M, D) -> (B,).
+
+    Matches `cvad_tpu.models.family_b.memory_anomaly_score`'s core (without
+    the min-fill gate, which stays with the caller).
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not (use_pallas or interpret):
+        return _memory_xla(query, memory, fill)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = query.shape
+    m = memory.shape[0]
+    bp = _round_up(max(b, 8), 8)
+    dp = _round_up(max(d, 128), 128)
+    mp = _round_up(max(m, 8), 8)
+    qp = jnp.zeros((bp, dp), jnp.float32).at[:b, :d].set(query)
+    memp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(memory)
+    fill_arr = jnp.asarray(fill, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        _memory_kernel,
+        out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(fill_arr, qp, memp)
+    return out[:b, 0]
+
+
+def _memory_xla(query, memory, fill):
+    qn = query / jnp.maximum(jnp.linalg.norm(query, axis=-1, keepdims=True), _EPS)
+    mn = memory / jnp.maximum(jnp.linalg.norm(memory, axis=-1, keepdims=True), _EPS)
+    sims = jnp.clip(qn @ mn.T, -1.0, 1.0)
+    valid = jnp.arange(memory.shape[0]) < fill
+    dists = jnp.where(valid[None, :], 1.0 - sims, 3.0)
+    return jnp.clip(jnp.min(dists, axis=1), 0.0, 2.0) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# masked mean pairwise L1 (consistency loss core)
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_kernel(flat_ref, mask_ref, sum_ref, cnt_ref):
+    """Accumulate sum_{i,j} m_i m_j mean_k|f_i - f_j| over ALL ordered pairs
+    (symmetric; caller halves for i<j) by streaming one row at a time."""
+    from jax.experimental import pallas as pl
+
+    f = flat_ref[:]  # (B, N)
+    msk = mask_ref[:]  # (B, 1)
+    b = f.shape[0]
+
+    def body(i, acc):
+        s, c = acc
+        row = flat_ref[pl.ds(i, 1), :]  # (1, N) — dynamic ref read
+        mi = mask_ref[pl.ds(i, 1), :]  # (1, 1)
+        d = jnp.mean(jnp.abs(f - row), axis=1, keepdims=True)  # (B, 1)
+        w = msk * mi  # (B, 1)
+        return s + jnp.sum(d * w), c + jnp.sum(w)
+
+    total, count = jax.lax.fori_loop(0, b, body, (jnp.float32(0), jnp.float32(0)))
+    sum_ref[0, 0] = total
+    cnt_ref[0, 0] = count
+
+
+def pairwise_l1_mean(flat: jnp.ndarray, mask: jnp.ndarray, *,
+                     use_pallas: Optional[bool] = None,
+                     interpret: bool = False):
+    """Mean over unordered pairs {i<j, mask_i & mask_j} of mean_k|f_i - f_j|.
+
+    Returns (avg_distance, n_pairs); avg is 0 when no pairs.  flat (B, N),
+    mask (B,) in {0,1}.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not (use_pallas or interpret):
+        return _pairwise_xla(flat, mask)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = flat.shape
+    bp = _round_up(max(b, 8), 8)
+    np_ = _round_up(max(n, 128), 128)
+    # zero-pad: padded feature columns contribute |0-0| to the row mean, so
+    # rescale by np_/n afterwards; padded rows have mask 0
+    fp = jnp.zeros((bp, np_), jnp.float32).at[:b, :n].set(flat)
+    mp = jnp.zeros((bp, 1), jnp.float32).at[:b, 0].set(mask.astype(jnp.float32))
+
+    total, count = pl.pallas_call(
+        _pairwise_kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(fp, mp)
+    total = total[0, 0] * (np_ / n)
+    s = jnp.sum(mask.astype(jnp.float32))
+    n_pairs = s * (s - 1) / 2
+    # kernel counted ordered pairs incl. diagonal (d_ii = 0): total is
+    # 2 * upper-sum, so halve
+    avg = jnp.where(n_pairs > 0, total / 2.0 / jnp.maximum(n_pairs, 1.0), 0.0)
+    return avg, n_pairs
+
+
+def _pairwise_xla(flat, mask):
+    m = mask.astype(jnp.float32)
+    d = jnp.abs(flat[:, None, :] - flat[None, :, :]).mean(-1)
+    b = flat.shape[0]
+    upper = jnp.triu(jnp.ones((b, b)), k=1)
+    w = upper * m[:, None] * m[None, :]
+    n_pairs = w.sum()
+    avg = jnp.where(n_pairs > 0, (d * w).sum() / jnp.maximum(n_pairs, 1.0), 0.0)
+    return avg, n_pairs
