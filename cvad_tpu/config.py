@@ -307,6 +307,17 @@ def preset(name: str) -> ExperimentConfig:
             train=TrainConfig(num_epochs=20, best_metric="val_acc", best_mode="max",
                               eval_every=1),
         )
+    if name in ("causal_pipeline_v0", "family_a_anchor", "video_anomaly_detection"):
+        # earlier pipeline variant: anchor detector, single-head scorer, no
+        # direct classifier; loss = MSE(score, label) + 0.001*KL
+        # (video_anomaly_detection.py:528)
+        base = preset("causal_pipeline")
+        return base.replace(
+            model=base.model.replace(anchor_variant=True, direct_variant=False),
+            data=base.data.replace(label_policy="split_binary"),
+            loss=base.loss.replace(a_ce=0.0, a_score_mse=1.0,
+                                   a_causal_mse=0.0, a_kl=0.001),
+        )
     if name in ("bbox_viz", "family_e", "avenue_training_script_bbox"):
         return ExperimentConfig(model=FamilyEConfig())
     raise KeyError(f"unknown preset: {name!r}")

@@ -109,6 +109,31 @@ class MaskedPedestrianDetector(nn.Module):
         return boxes, valid
 
 
+class AnchorPedestrianDetector(nn.Module):
+    """Earlier anchor-based detector head (``video_anomaly_detection.py:117-165``):
+    bbox head feat -> K*4 raw coords, confidence head feat -> K sigmoid;
+    validity = confidence > 0.5 with a zero dummy box when a frame has none."""
+
+    cfg: FamilyAConfig
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, *, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.num_anchors
+        boxes = nn.Dense(k * 4, name="bbox_head")(features)
+        boxes = boxes.reshape(features.shape[:-1] + (k, 4))
+        conf = nn.sigmoid(nn.Dense(k, name="conf_head")(features))  # (B, T, K)
+        valid = conf > 0.5
+        none_valid = ~valid.any(axis=-1)
+        # dummy zero box in slot 0 when nothing passes (:160-161)
+        slot0 = jnp.where(none_valid[..., None], jnp.zeros(4, boxes.dtype),
+                          boxes[..., 0, :])
+        boxes = boxes.at[..., 0, :].set(slot0)
+        valid = valid.at[..., 0].set(valid[..., 0] | none_valid)
+        return boxes, valid
+
+
 class TrajectoryTracker(nn.Module):
     """Batched ReID (``:232-274``): MLP 4->32->D->D on every box, concat
     [box, reid] -> (B, T, K, 4+D), zeroed where invalid (the reference's zero
@@ -247,6 +272,25 @@ class EnhancedAnomalyScorer(nn.Module):
         return (w[0] * causal + w[1] * motion + w[2] * temporal)[..., 0]
 
 
+class SimpleAnomalyScorer(nn.Module):
+    """Earlier single-head scorer (``video_anomaly_detection.py:375-403``):
+    one net 3F -> 32 -> 16 -> 1 sigmoid over cat[cur, pred, |diff|]."""
+
+    cfg: FamilyAConfig
+
+    @nn.compact
+    def __call__(self, factors: jnp.ndarray, predicted: jnp.ndarray,
+                 node_valid: jnp.ndarray, *, deterministic: bool = True
+                 ) -> jnp.ndarray:
+        m = node_valid[:, :factors.shape[1], None].astype(factors.dtype)
+        denom = jnp.maximum(m.sum(1), 1.0)
+        cur = (factors * m).sum(1) / denom
+        pred = (predicted * m).sum(1) / denom
+        x = jnp.concatenate([cur, pred, jnp.abs(cur - pred)], -1)
+        return MLP((32, 16, 1), final_activation="sigmoid",
+                   name="score_net")(x)[..., 0]
+
+
 class CausalPipelineDetector(nn.Module):
     """Full family-A assembly (``:508-586``): clip (B, T, H, W, 1) -> dict.
 
@@ -263,8 +307,12 @@ class CausalPipelineDetector(nn.Module):
                  ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         feats = ResNetBackbone(cfg, name="backbone")(clips, train=train)
-        boxes, box_valid = MaskedPedestrianDetector(cfg, name="detector")(
-            feats, deterministic=deterministic)
+        if cfg.anchor_variant:
+            boxes, box_valid = AnchorPedestrianDetector(cfg, name="detector")(
+                feats, deterministic=deterministic)
+        else:
+            boxes, box_valid = MaskedPedestrianDetector(cfg, name="detector")(
+                feats, deterministic=deterministic)
         traj = TrajectoryTracker(cfg, name="tracker")(boxes, box_valid)
         traj_valid = box_valid.any(axis=1)  # (B, K): slot ever valid
         enc = TrajectoryEncoder(cfg, name="traj_encoder")(traj)
@@ -282,15 +330,23 @@ class CausalPipelineDetector(nn.Module):
             factors_n = factors[:, :n]
             node_valid = traj_valid[:, :n]
         predicted = DynamicsPredictor(cfg, name="dynamics_predictor")(factors_n, adj)
-        causal_scores = EnhancedAnomalyScorer(cfg, name="anomaly_scorer")(
+        scorer_cls = SimpleAnomalyScorer if cfg.anchor_variant else EnhancedAnomalyScorer
+        causal_scores = scorer_cls(cfg, name="anomaly_scorer")(
             factors_n, predicted, node_valid, deterministic=deterministic)
 
-        pooled = feats.mean(axis=1)
-        direct = MLP((512, 256, 128, 64, 2), final_activation="softmax",
-                     dropout=0.3, dropout_after=(0, 1), name="direct_classifier")(
-                         pooled, deterministic=deterministic)
-        w0, w1 = cfg.score_blend
-        final = w0 * causal_scores + w1 * direct[:, 1]
+        if cfg.direct_variant:
+            pooled = feats.mean(axis=1)
+            direct = MLP((512, 256, 128, 64, 2), final_activation="softmax",
+                         dropout=0.3, dropout_after=(0, 1),
+                         name="direct_classifier")(
+                             pooled, deterministic=deterministic)
+            w0, w1 = cfg.score_blend
+            final = w0 * causal_scores + w1 * direct[:, 1]
+        else:
+            # earlier variant has no direct head (video_anomaly_detection.py);
+            # keep the output interface with a [1-s, s] stand-in
+            final = causal_scores
+            direct = jnp.stack([1.0 - causal_scores, causal_scores], axis=-1)
         return {
             "anomaly_scores": final,
             "causal_factors": factors,

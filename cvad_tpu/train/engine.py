@@ -72,6 +72,36 @@ class Trainer:
         self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, bsh))
         self._rng = jax.device_put(jax.random.key(self.cfg.train.seed + 1), rep)
 
+    def restore(self, sample_batch: Dict[str, np.ndarray],
+                step="latest") -> Optional[int]:
+        """Restore state + history + scheduler from a checkpoint for
+        mid-training resume (never possible in the reference — SURVEY.md §5
+        'No mid-training resume is ever actually invoked').  Returns the
+        restored step or None if no checkpoint exists."""
+        if self.state is None:
+            self.init_state(sample_batch)
+        if step == "latest":
+            step = self.ckpt.latest_step()
+        if step is None:
+            return None
+        template = jax.device_get(self.state)
+        restored = self.ckpt.restore(step, template)
+        self.state = jax.device_put(restored, replicated(self.mesh))
+        hist = self.ckpt.restore_history(step)
+        if hist:
+            sched = hist.pop("_scheduler", None)
+            for k in self.history.KEYS:
+                self.history.data[k] = list(hist.get(k, []))
+            if sched:
+                self.scheduler.load_state_dict(sched)
+                self.state = self.state.replace(
+                    opt_state=set_lr(self.state.opt_state, self.scheduler.lr))
+        return step if isinstance(step, int) else self.history.last_epoch
+
+    def _ckpt_payload(self) -> Dict:
+        return {**self.history.as_dict(),
+                "_scheduler": self.scheduler.state_dict()}
+
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
@@ -161,7 +191,8 @@ class Trainer:
                 sample_batch = next(iter(train_loader))
             self.init_state(sample_batch)
         t0 = time.time()
-        for epoch in range(1, cfg.num_epochs + 1):
+        start_epoch = self.history.last_epoch + 1
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
             avg = self.train_epoch(train_loader, epoch)
             self.logger.log("epoch", epoch=epoch, **{k: v for k, v in avg.items()})
             is_eval = (eval_loader is not None
@@ -176,7 +207,7 @@ class Trainer:
                 self._maybe_save_best(epoch, scalar, avg)
             if cfg.save_interval and epoch % cfg.save_interval == 0:
                 self.ckpt.save(int(epoch), self.state,
-                               history=self.history.as_dict())
+                               history=self._ckpt_payload())
         self.logger.log("done", epochs=cfg.num_epochs,
                         total_s=time.time() - t0)
         self.ckpt.wait()
@@ -194,7 +225,7 @@ class Trainer:
                   or (cfg.best_mode == "min" and value < self._best))
         if better:
             self._best = value
-            self.ckpt.save("best", self.state, history=self.history.as_dict())
+            self.ckpt.save("best", self.state, history=self._ckpt_payload())
             self.logger.log("best_model", epoch=epoch, **{key: value})
 
 

@@ -1,0 +1,80 @@
+"""Checkpoint/resume: training can stop and continue exactly where it left
+off — params, optimizer state, history, scheduler (a capability the
+reference never had; SURVEY.md §5)."""
+
+import jax
+import numpy as np
+
+from cvad_tpu.config import preset
+from cvad_tpu.runtime.mesh import create_mesh
+from cvad_tpu.train.engine import Trainer, make_loaders
+
+
+def _cfg(tmp_path, epochs):
+    cfg = preset("family_d")
+    return cfg.replace(
+        data=cfg.data.replace(batch_size=8, frame_size=(16, 16)),
+        train=cfg.train.replace(num_epochs=epochs, eval_every=10**9,
+                                save_interval=1, log_every=10**9,
+                                out_dir=str(tmp_path)))
+
+
+def _mesh1():
+    return create_mesh(devices=jax.devices("cpu")[:1])
+
+
+def test_resume_continues_training(tmp_path):
+    cfg2 = _cfg(tmp_path, 2)
+    tr1 = Trainer(cfg2, mesh=_mesh1())
+    train_loader, _ = make_loaders(cfg2, n_synthetic=16)
+    tr1.fit(train_loader)
+    assert tr1.history.last_epoch == 2
+    params_after_2 = jax.device_get(tr1.state.params)
+
+    # new trainer restores epoch-2 checkpoint and continues to epoch 4
+    cfg4 = _cfg(tmp_path, 4)
+    tr2 = Trainer(cfg4, mesh=_mesh1())
+    sample = next(iter(train_loader))
+    restored = tr2.restore(sample)
+    assert restored is not None
+    assert tr2.history.last_epoch == 2
+    # restored params identical to the saved ones
+    for a, b in zip(jax.tree_util.tree_leaves(params_after_2),
+                    jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    hist = tr2.fit(train_loader)
+    assert hist["epochs"] == [1, 2, 3, 4]
+    # params actually moved in epochs 3-4
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params_after_2),
+                        jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))))
+    assert moved
+
+
+def test_restore_without_checkpoint_returns_none(tmp_path):
+    cfg = _cfg(tmp_path / "empty", 1)
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, _ = make_loaders(cfg, n_synthetic=8)
+    assert tr.restore(next(iter(train_loader))) is None
+
+
+def test_anchor_variant_forward(tmp_path):
+    """Earlier family-A variant: anchor detector + single-head scorer, no
+    direct classifier — final score equals causal score."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.models import CausalPipelineDetector
+
+    cfg = preset("causal_pipeline_v0").model.replace(frame_hw=(32, 48))
+    m = CausalPipelineDetector(cfg)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 4, 32, 48, 1)),
+                    jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    out = m.apply(v, x, rng=jax.random.key(1))
+    assert out["detections"].shape == (2, 4, 3, 4)  # 3 anchors
+    np.testing.assert_allclose(np.asarray(out["anomaly_scores"]),
+                               np.asarray(out["causal_anomaly_scores"]),
+                               rtol=1e-6)
+    assert bool(out["detection_mask"].any(axis=-1).all())
