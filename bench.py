@@ -33,7 +33,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_framework() -> float:
+def measure_framework(dtype: str = "bfloat16") -> float:
+    """Full train-step throughput (forward + 5-term loss + backward + AdamW)."""
     import jax
 
     from cvad_tpu.config import preset
@@ -43,7 +44,8 @@ def measure_framework() -> float:
     cfg = preset("family_d")
     cfg = cfg.replace(
         data=cfg.data.replace(batch_size=BATCH),
-        train=cfg.train.replace(out_dir="/tmp/cvad_bench", log_every=10**9),
+        train=cfg.train.replace(out_dir="/tmp/cvad_bench", log_every=10**9,
+                                dtype=dtype),
     )
     mesh = create_mesh()
     trainer = Trainer(cfg, mesh=mesh)
@@ -66,9 +68,63 @@ def measure_framework() -> float:
     jax.block_until_ready(trainer.state.params)
     dt = time.perf_counter() - t0
     cps = BATCH * ITERS / dt
-    log(f"framework: {ITERS} steps of {BATCH} clips in {dt:.3f}s "
+    log(f"framework[{dtype}]: {ITERS} steps of {BATCH} clips in {dt:.3f}s "
         f"-> {cps:.1f} clips/s on {jax.devices()[0]}")
     return cps
+
+
+def measure_inference() -> float:
+    """Eval forward throughput in frames/sec (BASELINE.json inference metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvad_tpu.models import CausalAnomalyDetector
+
+    model = CausalAnomalyDetector()
+    clips = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (BATCH,) + CLIP_SHAPE),
+        jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), clips)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, deterministic=True)[0])
+    for _ in range(WARMUP):
+        fwd(variables, clips).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(variables, clips)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = BATCH * CLIP_SHAPE[0] * ITERS / dt
+    log(f"inference: {fps:.0f} frames/s ({BATCH * ITERS / dt:.0f} clips/s)")
+    return fps
+
+
+def measure_input_pipeline() -> float:
+    """Host decode throughput (native C++ path) in frames/sec."""
+    import tempfile
+
+    from cvad_tpu.data.native_decoder import decode_clip, load_library
+    from cvad_tpu.data.synthetic import write_synthetic_video_tree
+    from cvad_tpu.data.frames import scan_video_folders
+
+    if load_library() is None:
+        log("input pipeline: native decoder unavailable")
+        return float("nan")
+    with tempfile.TemporaryDirectory() as d:
+        write_synthetic_video_tree(d, splits=("bench",), videos_per_split=1,
+                                   frames_per_video=64, hw=(120, 160),
+                                   channels=1, fmt="pgm")
+        frames = scan_video_folders(f"{d}/bench")[0][1]
+        decode_clip(frames[:8], (64, 64), 3)  # warm
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(5):
+            decode_clip(frames, (64, 64), 3, nthreads=4)
+            n += len(frames)
+        dt = time.perf_counter() - t0
+    fps = n / dt
+    log(f"input pipeline (native decode+resize 160x120->64x64): {fps:.0f} frames/s")
+    return fps
 
 
 def measure_reference_baseline() -> float:
@@ -133,7 +189,13 @@ def measure_reference_baseline() -> float:
 def main() -> None:
     import contextlib
 
-    value = measure_framework()
+    value = measure_framework("bfloat16")
+    try:
+        measure_framework("float32")
+        measure_inference()
+        measure_input_pipeline()
+    except Exception as e:  # context metrics are best-effort
+        log(f"context metrics failed: {e}")
     try:
         # the reference prints banners at construction; keep stdout pure JSON
         with contextlib.redirect_stdout(sys.stderr):

@@ -110,6 +110,9 @@ class FamilyDConfig(_Base):
     dropout: float = 0.3
     pool_out: Tuple[int, int, int] = (4, 4, 4)
     conv_channels: Tuple[int, int, int] = (16, 32, 64)
+    # computation dtype ('float32' | 'bfloat16'); params stay float32 — the
+    # TPU analog of the reference's CUDA AMP (no loss scaling needed on TPU)
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -135,6 +138,11 @@ class FamilyBConfig(_Base):
     memory_min_fill: int = 10
     lstm_hidden: int = 64
     leaky_slope: float = 0.1
+    # temporal encoder: 'lstm' (reference parity) or 'attention' (flash-
+    # attention transformer for long windows, BASELINE.json config 5)
+    temporal_encoder: str = "lstm"
+    attn_heads: int = 4
+    attn_layers: int = 2
 
 
 @dataclass(frozen=True)

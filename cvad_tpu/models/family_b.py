@@ -135,9 +135,16 @@ class MemoryVideoAutoEncoder(nn.Module):
     cfg: FamilyBConfig = FamilyBConfig()
 
     def setup(self):
+        self.cfg_encoder = self.cfg.temporal_encoder
         self.encoder = _FrameEncoder(self.cfg)
         self.decoder = _FrameDecoder(self.cfg)
-        self.lstm = nn.OptimizedLSTMCell(features=self.cfg.lstm_hidden)
+        if self.cfg.temporal_encoder == "attention":
+            from cvad_tpu.ops.attention import TemporalAttentionEncoder
+
+            self.temporal = TemporalAttentionEncoder(
+                num_layers=self.cfg.attn_layers, num_heads=self.cfg.attn_heads)
+        else:
+            self.lstm = nn.OptimizedLSTMCell(features=self.cfg.lstm_hidden)
 
     def encode_sequence(self, frames: jnp.ndarray, *, train: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -150,6 +157,9 @@ class MemoryVideoAutoEncoder(nn.Module):
         b, t = frames.shape[0], frames.shape[1]
         flat = frames.reshape((b * t,) + frames.shape[2:])
         z = self.encoder(flat, train=train).reshape(b, t, -1)
+
+        if self.cfg.temporal_encoder == "attention":
+            return self.temporal(z), z
 
         carry = self.lstm.initialize_carry(jax.random.key(0), z[:, 0].shape)
         scan = nn.scan(

@@ -38,16 +38,23 @@ class CompactFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        dtype = jnp.dtype(self.cfg.dtype)
+        x = x.astype(dtype)
         c1, c2, c3 = self.cfg.conv_channels
-        x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), name="conv3d_1")(x))
-        x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), name="conv3d_2")(x))
-        x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), name="conv3d_3")(x))
+        x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
+                                name="conv3d_1")(x))
+        x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
+                                name="conv3d_2")(x))
+        x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), dtype=dtype,
+                                name="conv3d_3")(x))
         x = adaptive_avg_pool3d(x, self.cfg.pool_out)
         # channel-major flatten to match torch's view(B, C*T*H*W)
         x = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(x.shape[0], -1)
-        x = nn.Dense(self.cfg.causal_dim, name="fc")(x)
+        x = nn.Dense(self.cfg.causal_dim, dtype=dtype, name="fc")(x)
         x = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(x)
-        return x
+        # heads and losses accumulate in float32 (fp32 loss accumulation,
+        # SURVEY.md §2.9 mixed-precision row)
+        return x.astype(jnp.float32)
 
 
 class DifferentiableCausalDiscovery(nn.Module):

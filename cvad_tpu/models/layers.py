@@ -9,7 +9,7 @@ inputs at stride 2) and torch's adaptive-average-pool index algorithm.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -39,6 +39,7 @@ class Conv3dTorch(nn.Module):
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Tuple[int, int, int] = (1, 1, 1)
     use_bias: bool = True
+    dtype: Any = None  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,6 +50,7 @@ class Conv3dTorch(nn.Module):
             strides=self.stride,
             padding=pad,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
 

@@ -70,7 +70,10 @@ def _apply_updates(state: TrainState, tx, grads, loss,
 
 
 def _family_d_task(cfg: ExperimentConfig) -> Task:
-    model = build_model(cfg.model)
+    model_cfg = cfg.model
+    if cfg.train.dtype != "float32" and model_cfg.dtype == "float32":
+        model_cfg = model_cfg.replace(dtype=cfg.train.dtype)
+    model = build_model(model_cfg)
     tx = build_optimizer(cfg.optim)
     loss_cfg = cfg.loss
 
