@@ -161,6 +161,7 @@ class FamilyAConfig(_Base):
     traj_latent: int = 32
     direct_variant: bool = True  # enhanced version w/ direct classifier + 0.6/0.4 blend
     anchor_variant: bool = False  # earlier video_anomaly_detection.py detector head
+    freeze_stem: bool = True  # freeze backbone conv1/bn1 (apply_memory_efficient_training, :592-607)
     score_blend: Tuple[float, float] = (0.6, 0.4)  # causal vs direct (:574)
     scorer_blend: Tuple[float, float, float] = (0.5, 0.3, 0.2)  # causal/motion/temporal (:497)
 

@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from cvad_tpu.config import FamilyBConfig
-from cvad_tpu.models.layers import ConvTranspose3dTorch  # noqa: F401  (2D path below)
+from cvad_tpu.models.init import kaiming_normal_fan_out, xavier_normal
+
+# reference init_weights scheme (causal_anomaly_detection1.py:29-42)
+_CONV_INIT = kaiming_normal_fan_out("leaky_relu", a=0.0)
+_DENSE_INIT = xavier_normal(0.5)
 
 
 class MemoryBankState(NamedTuple):
@@ -90,13 +94,13 @@ class _FrameEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         for i, c in enumerate(self.cfg.conv_channels):
             x = nn.Conv(c, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                        name=f"conv_{i}")(x)
+                        kernel_init=_CONV_INIT, name=f"conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn_{i}")(x)
             x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
         # channel-major flatten to mirror torch nn.Flatten on (B, 128, 4, 4)
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        return nn.tanh(nn.Dense(self.cfg.latent_dim, name="fc")(x))
+        return nn.tanh(nn.Dense(self.cfg.latent_dim, kernel_init=_DENSE_INIT, name="fc")(x))
 
 
 class _FrameDecoder(nn.Module):
@@ -107,7 +111,7 @@ class _FrameDecoder(nn.Module):
     @nn.compact
     def __call__(self, z: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         ch = self.cfg.conv_channels  # (32, 64, 128, 128)
-        x = nn.leaky_relu(nn.Dense(ch[-1] * 4 * 4, name="fc")(z),
+        x = nn.leaky_relu(nn.Dense(ch[-1] * 4 * 4, kernel_init=_DENSE_INIT, name="fc")(z),
                           negative_slope=self.cfg.leaky_slope)
         x = x.reshape(x.shape[0], ch[-1], 4, 4)  # torch Unflatten (C, H, W)
         x = jnp.transpose(x, (0, 2, 3, 1))  # -> (B, 4, 4, C)
@@ -115,13 +119,13 @@ class _FrameDecoder(nn.Module):
         for i, c in enumerate(outs):
             x = nn.ConvTranspose(c, (4, 4), strides=(2, 2),
                                  padding=[(2, 2), (2, 2)], transpose_kernel=True,
-                                 name=f"deconv_{i}")(x)
+                                 kernel_init=_CONV_INIT, name=f"deconv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn_{i}")(x)
             x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
         x = nn.ConvTranspose(self.cfg.in_channels, (4, 4), strides=(2, 2),
                              padding=[(2, 2), (2, 2)], transpose_kernel=True,
-                             name="deconv_out")(x)
+                             kernel_init=_CONV_INIT, name="deconv_out")(x)
         return nn.sigmoid(x)
 
 

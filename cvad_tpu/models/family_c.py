@@ -16,21 +16,28 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cvad_tpu.config import FamilyCConfig
+from cvad_tpu.models.init import kaiming_normal_fan_out, normal_std
 from cvad_tpu.models.layers import Conv3dTorch, max_pool3d
 
 
 class Simple3DCNNDetector(nn.Module):
-    """Clip (B, 8, 64, 64, 1) -> anomaly score (B, 1) in [0, 1]."""
+    """Clip (B, 8, 64, 64, 1) -> anomaly score (B, 1) in [0, 1].
+
+    Weight init matches the reference's explicit scheme (:76-88): kaiming
+    fan_out convs, normal(0, 0.01) dense, zero biases.
+    """
 
     cfg: FamilyCConfig = FamilyCConfig()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  deterministic: bool = True) -> jnp.ndarray:
+        conv_init = kaiming_normal_fan_out("relu")
+        dense_init = normal_std(0.01)
         c1, c2, c3 = self.cfg.conv_channels
         pools = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]  # minicausal_vad_complete3.py:41,47,53
         for i, (c, pool) in enumerate(zip((c1, c2, c3), pools)):
-            x = Conv3dTorch(c, name=f"conv_{i}")(x)
+            x = Conv3dTorch(c, kernel_init=conv_init, name=f"conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn_{i}")(x)
             x = nn.relu(x)
@@ -39,8 +46,8 @@ class Simple3DCNNDetector(nn.Module):
 
         m1, m2 = self.cfg.mlp_dims
         x = nn.Dropout(0.5, deterministic=deterministic)(x)
-        x = nn.relu(nn.Dense(m1, name="cls_1")(x))
+        x = nn.relu(nn.Dense(m1, kernel_init=dense_init, name="cls_1")(x))
         x = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(x)
-        x = nn.relu(nn.Dense(m2, name="cls_4")(x))
-        x = nn.sigmoid(nn.Dense(1, name="cls_6")(x))
+        x = nn.relu(nn.Dense(m2, kernel_init=dense_init, name="cls_4")(x))
+        x = nn.sigmoid(nn.Dense(1, kernel_init=dense_init, name="cls_6")(x))
         return x

@@ -40,10 +40,14 @@ class Conv3dTorch(nn.Module):
     padding: Tuple[int, int, int] = (1, 1, 1)
     use_bias: bool = True
     dtype: Any = None  # computation dtype (params stay float32)
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = [(p, p) for p in self.padding]
+        kw = {}
+        if self.kernel_init is not None:
+            kw["kernel_init"] = self.kernel_init
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel,
@@ -52,6 +56,7 @@ class Conv3dTorch(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             name="conv",
+            **kw,
         )(x)
 
 

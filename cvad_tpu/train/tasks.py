@@ -233,6 +233,26 @@ def update_memory_masked(state, feats, mask):
 def _family_a_task(cfg: ExperimentConfig) -> Task:
     model = build_model(cfg.model)
     tx = build_optimizer(cfg.optim)
+    if cfg.model.freeze_stem:
+        # freeze backbone conv1/bn1 params (the reference's
+        # apply_memory_efficient_training, causal_anomaly_detection.py:592-607);
+        # BN running stats still update via batch_stats, exactly like torch
+        def _is_frozen(path) -> bool:
+            keys = [getattr(k, "key", "") for k in path]
+            return "backbone" in keys and any(k in ("conv1", "bn1") for k in keys)
+
+        def trainable(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not _is_frozen(path), params)
+
+        def frozen(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: _is_frozen(path), params)
+
+        # optax.masked passes unmasked updates through unchanged, so zero the
+        # frozen leaves explicitly — requires_grad=False semantics
+        tx = optax.chain(optax.masked(optax.set_to_zero(), frozen),
+                         optax.masked(tx, trainable))
     loss_cfg = cfg.loss
 
     def init_state(rng, sample_batch) -> TrainState:

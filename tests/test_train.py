@@ -167,3 +167,48 @@ def test_family_a_fit(tmp_path):
     hist = tr.fit(train_loader, eval_loader)
     assert np.isfinite(hist["train_losses"][0])
     assert "val_acc" in hist["evaluation_metrics"][0]
+
+
+def test_family_a_stem_frozen(tmp_path):
+    """backbone conv1/bn1 params must not move (reference
+    apply_memory_efficient_training, causal_anomaly_detection.py:592-607)."""
+    import jax.numpy as jnp
+
+    cfg = preset("causal_pipeline")
+    cfg = cfg.replace(model=cfg.model.replace(frame_hw=(32, 48)),
+                      data=cfg.data.replace(frame_size=(32, 48), clip_len=4,
+                                            batch_size=4))
+    cfg = _small(cfg, tmp_path, epochs=1, batch=4, hw=(32, 48))
+    task = build_task(cfg)
+    batch = {"clips": jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (4, 4, 32, 48, 1)), jnp.float32),
+        "labels": jnp.zeros(4)}
+    state = task.init_state(jax.random.key(0), batch)
+    new_state, _ = task.train_step(state, batch, jax.random.key(1))
+    stem_before = state.params["backbone"]["conv1"]["kernel"]
+    stem_after = new_state.params["backbone"]["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(stem_before), np.asarray(stem_after))
+    bn_b = state.params["backbone"]["bn1"]["scale"]
+    bn_a = new_state.params["backbone"]["bn1"]["scale"]
+    np.testing.assert_array_equal(np.asarray(bn_b), np.asarray(bn_a))
+    # a non-frozen layer did move
+    l1_b = state.params["backbone"]["layer1_conv0"]["kernel"]
+    l1_a = new_state.params["backbone"]["layer1_conv0"]["kernel"]
+    assert not np.allclose(np.asarray(l1_b), np.asarray(l1_a))
+
+
+def test_torch_init_statistics():
+    """Initializer schemes match torch statistics (std within tolerance)."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.models.init import (kaiming_normal_fan_out, normal_std,
+                                      xavier_normal)
+
+    key = jax.random.key(0)
+    w = kaiming_normal_fan_out("relu")(key, (3, 3, 3, 8, 16))
+    fan_out = 16 * 27
+    assert abs(float(jnp.std(w)) - (2.0 / fan_out) ** 0.5) < 0.002
+    w2 = xavier_normal(0.5)(key, (64, 32))
+    assert abs(float(jnp.std(w2)) - 0.5 * (2.0 / 96) ** 0.5) < 0.005
+    w3 = normal_std(0.01)(key, (100, 100))
+    assert abs(float(jnp.std(w3)) - 0.01) < 0.001
