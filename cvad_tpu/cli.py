@@ -74,6 +74,14 @@ def cmd_train(args) -> int:
 
     trainer = Trainer(cfg)
     train_loader, eval_loader = make_loaders(cfg, n_synthetic=args.n_synthetic)
+    if args.profile_dir:
+        # profile the first epoch (SURVEY.md §5 tracing: the reference has
+        # wall-clock timing only; this captures a full device trace)
+        from cvad_tpu.runtime.metrics import profile_trace
+
+        trainer.init_state(next(iter(train_loader)))
+        with profile_trace(args.profile_dir):
+            trainer.train_epoch(train_loader, epoch=0)
     history = trainer.fit(train_loader, eval_loader)
     print(json.dumps({"final_loss": history["train_losses"][-1],
                       "epochs": len(history["epochs"])}))
@@ -170,6 +178,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--out", default=None)
     t.add_argument("--n-synthetic", type=int, default=256)
+    t.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first epoch")
     t.add_argument("--set", action="append", metavar="SEC.KEY=VAL",
                    help="config override, e.g. --set optim.lr=1e-4")
     t.set_defaults(fn=cmd_train)

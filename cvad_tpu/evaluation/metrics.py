@@ -70,6 +70,23 @@ def binary_metrics(scores: np.ndarray, labels: np.ndarray,
     return out
 
 
+def format_sample_table(scores: np.ndarray, labels: np.ndarray,
+                        threshold: float = 0.5, max_rows: int = 50) -> str:
+    """Per-sample prediction table (the reference's ``test_model`` print,
+    ``causal_anomaly_detection.py:796-835``), returned as a string."""
+    scores = np.asarray(scores).reshape(-1)
+    labels = np.asarray(labels).reshape(-1)
+    lines = [f"{'idx':>5} {'score':>8} {'pred':>5} {'label':>5} {'ok':>3}"]
+    for i in range(min(len(scores), max_rows)):
+        pred = int(scores[i] > threshold)
+        ok = "y" if pred == int(labels[i]) else "n"
+        lines.append(f"{i:>5} {scores[i]:>8.4f} {pred:>5} {int(labels[i]):>5} "
+                     f"{ok:>3}")
+    if len(scores) > max_rows:
+        lines.append(f"... ({len(scores) - max_rows} more)")
+    return "\n".join(lines)
+
+
 def score_separation(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
     """Normal/abnormal score separation report
     (``causal_anomaly_detection1.py:486-503``)."""

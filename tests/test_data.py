@@ -156,3 +156,27 @@ def test_synthetic_separation():
     # anomalous clips have higher temporal variance (learnable signal)
     tv = clips.std(axis=1).mean(axis=(1, 2, 3))
     assert tv[labels == 1].mean() > tv[labels == 0].mean()
+
+
+def test_tif_decode_via_pil(tmp_path):
+    """UCSDped2SimpleDataset parity: .tif frames decode through PIL
+    (minicausal_vad_complete3.py:199)."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "Train" / "Train001"
+    vdir.mkdir(parents=True)
+    frames = rng.integers(0, 256, (10, 20, 24), np.uint8)
+    for i, f in enumerate(frames):
+        PIL.fromarray(f, mode="L").save(vdir / f"{i:03d}.tif")
+    cfg = DataConfig(clip_len=8, stride=2, frame_size=(20, 24), channels=1)
+    ds = UCSDPed2Dataset(str(tmp_path), "Train", cfg)
+    clip, _ = ds[0]
+    assert clip.shape == (8, 20, 24, 1)
+    np.testing.assert_allclose(clip[0, ..., 0], frames[0] / 255.0, atol=1e-6)
+
+
+def test_sample_table_format():
+    from cvad_tpu.evaluation.metrics import format_sample_table
+
+    table = format_sample_table(np.array([0.9, 0.1]), np.array([1, 1]))
+    assert "0.9000" in table and table.count("\n") == 2
