@@ -259,6 +259,8 @@ class TrainConfig(_Base):
     normal_only: bool = False  # family B trains on normal samples only (:374-378)
     best_metric: str = "score_range"  # best-model criterion varies per family (SURVEY.md §5)
     best_mode: str = "max"
+    early_stop_patience: int = 0  # 0 = off; family B uses 10 (causal_anomaly_detection1.py:506-515)
+    reload_best: bool = False  # reload best checkpoint after training (:518-522)
     out_dir: str = "results"
     history_name: str = "improved_training_history.json"
     donate_state: bool = True
@@ -303,7 +305,9 @@ def preset(name: str) -> ExperimentConfig:
             optim=OptimConfig(optimizer="adam", lr=1e-6, weight_decay=0.0,
                               schedule="plateau", grad_clip=0.1),
             train=TrainConfig(num_epochs=50, normal_only=True,
-                              best_metric="val_loss", best_mode="min", eval_every=1),
+                              best_metric="val_loss", best_mode="min",
+                              eval_every=1, early_stop_patience=10,
+                              reload_best=True),
         )
     if name in ("causal_pipeline", "family_a", "causal_anomaly_detection"):
         return ExperimentConfig(

@@ -131,6 +131,46 @@ def get_detector(backend: str = "auto") -> Callable:
     if backend in _REGISTRY:
         return _REGISTRY[backend]
     if backend == "auto":
-        return _REGISTRY["motion"]
+        return setup_detector("auto")[0]
     raise KeyError(f"unknown detector backend {backend!r}; "
                    f"registered: {sorted(_REGISTRY)}")
+
+
+def setup_detector(backend: str = "auto", weights_dir: Optional[str] = None):
+    """Backend-selection ladder (reference ``avenue_training_script_bbox.py
+    :30-48,157-208``): yolov5 -> OpenCV-DNN (local weights only; the
+    reference downloaded configs at init, which an air-gapped deployment
+    cannot) -> motion/contour fallback.  Returns (callable, backend_name)."""
+    if backend in ("auto", "yolov5"):
+        try:  # torch.hub yolov5 — requires network/cached hub; usually absent
+            import torch
+
+            model = torch.hub.load("ultralytics/yolov5", "yolov5s",
+                                   verbose=False)
+
+            def yolo(frame, _m=model):
+                res = _m(frame)
+                persons = []
+                for *xyxy, conf, cls in res.xyxy[0].tolist():
+                    if int(cls) == 0 and conf > 0.2:
+                        persons.append(Detection([int(v) for v in xyxy], conf))
+                return persons
+
+            return yolo, "yolov5"
+        except Exception:
+            if backend == "yolov5":
+                raise RuntimeError("yolov5 backend unavailable (no hub access)")
+    if backend in ("auto", "opencv"):
+        cv2 = _cv2()
+        if cv2 is not None and weights_dir:
+            import os
+
+            cfg = os.path.join(weights_dir, "yolov4-tiny.cfg")
+            wts = os.path.join(weights_dir, "yolov4-tiny.weights")
+            if os.path.exists(cfg) and os.path.exists(wts):
+                net = cv2.dnn.readNetFromDarknet(cfg, wts)
+                return (lambda frame: detect_persons_opencv_dnn(frame, net),
+                        "opencv")
+        if backend == "opencv":
+            raise RuntimeError("opencv-dnn backend needs local yolov4 weights")
+    return detect_persons_motion, "motion"

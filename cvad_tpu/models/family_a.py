@@ -84,13 +84,23 @@ class MaskedPedestrianDetector(nn.Module):
 
     cfg: FamilyAConfig
 
+    # final-layer bias init: plausible pedestrian positions (reference
+    # init_weights, causal_anomaly_detection.py:183-192)
+    _BIAS = (180, 120, 25, 50, 150, 100, 20, 45, 210, 140, 30, 55,
+             120, 80, 22, 48, 240, 160, 28, 52)
+
     @nn.compact
     def __call__(self, features: jnp.ndarray, *, deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         k = self.cfg.max_boxes
-        h = MLP((512, 256, 128, 64, k * 4), dropout=0.3, dropout_after=(0, 1),
-                name="detector_net")(features, deterministic=deterministic)
-        raw = h.reshape(features.shape[:-1] + (k, 4))
+        h = MLP((512, 256, 128, 64), final_activation="relu", dropout=0.3,
+                dropout_after=(0, 1), name="detector_net")(
+                    features, deterministic=deterministic)
+        bias = jnp.asarray(self._BIAS, jnp.float32)
+        if k * 4 != len(self._BIAS):  # non-default K: tile/trim the pattern
+            bias = jnp.resize(bias, (k * 4,))
+        head = nn.Dense(k * 4, bias_init=lambda *_: bias, name="detector_out")
+        raw = head(h).reshape(features.shape[:-1] + (k, 4))
         x = nn.sigmoid(raw[..., 0]) * 360.0
         y = nn.sigmoid(raw[..., 1]) * 240.0
         w = nn.sigmoid(raw[..., 2]) * 80.0 + 15.0

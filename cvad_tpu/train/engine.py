@@ -192,6 +192,7 @@ class Trainer:
             self.init_state(sample_batch)
         t0 = time.time()
         start_epoch = self.history.last_epoch + 1
+        since_best = 0
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             avg = self.train_epoch(train_loader, epoch)
             self.logger.log("epoch", epoch=epoch, **{k: v for k, v in avg.items()})
@@ -204,22 +205,37 @@ class Trainer:
                           if isinstance(v, (int, float))}
                 self.history.record_eval(scalar)
                 self.logger.log("eval", epoch=epoch, **scalar)
-                self._maybe_save_best(epoch, scalar, avg)
+                improved = self._maybe_save_best(epoch, scalar, avg)
+                since_best = 0 if improved else since_best + 1
+                # early stopping (family B: patience 10, :506-515)
+                if cfg.early_stop_patience and since_best >= cfg.early_stop_patience:
+                    self.logger.log("early_stop", epoch=epoch,
+                                    patience=cfg.early_stop_patience)
+                    break
             if cfg.save_interval and epoch % cfg.save_interval == 0:
                 self.ckpt.save(int(epoch), self.state,
                                history=self._ckpt_payload())
+        if cfg.reload_best:
+            # reload best checkpoint at end (reference :518-522)
+            self.ckpt.wait()
+            try:
+                restored = self.ckpt.restore("best", jax.device_get(self.state))
+                self.state = jax.device_put(restored, replicated(self.mesh))
+                self.logger.log("reloaded_best", best=self._best)
+            except Exception as e:  # noqa: BLE001 — no best saved yet
+                self.logger.log("reload_best_failed", error=str(e))
         self.logger.log("done", epochs=cfg.num_epochs,
                         total_s=time.time() - t0)
         self.ckpt.wait()
         return self.history.as_dict()
 
     def _maybe_save_best(self, epoch: int, eval_metrics: Dict[str, float],
-                         train_avg: Dict[str, float]) -> None:
+                         train_avg: Dict[str, float]) -> bool:
         cfg = self.cfg.train
         key = cfg.best_metric
         value = eval_metrics.get(key, train_avg.get(key))
         if value is None or not np.isfinite(value):
-            return
+            return False
         better = (self._best is None
                   or (cfg.best_mode == "max" and value > self._best)
                   or (cfg.best_mode == "min" and value < self._best))
@@ -227,6 +243,7 @@ class Trainer:
             self._best = value
             self.ckpt.save("best", self.state, history=self._ckpt_payload())
             self.logger.log("best_model", epoch=epoch, **{key: value})
+        return better
 
 
 def _to_jnp(batch: Dict[str, np.ndarray]):

@@ -190,3 +190,20 @@ def test_diagnose():
             "loss_components": [{"anomaly_loss": 0.5, "sparsity_loss": 0.01}],
             "evaluation_metrics": [{"score_range": 0.5, "mean_score": 0.4}]}
     assert diagnose_training_issues(good, verbose=False)["warnings"] == []
+
+
+def test_detector_ladder_falls_to_motion():
+    from cvad_tpu.evaluation.detectors import setup_detector
+
+    fn, name = setup_detector("auto")
+    assert name == "motion"  # offline: yolov5/dnn unavailable
+    frame = np.zeros((60, 60, 3), np.uint8)
+    frame[10:50, 25:38] = 200
+    assert isinstance(fn(frame), list)
+
+
+def test_detector_explicit_backend_errors():
+    from cvad_tpu.evaluation.detectors import setup_detector
+
+    with pytest.raises(RuntimeError):
+        setup_detector("opencv")  # no local weights supplied

@@ -212,3 +212,32 @@ def test_torch_init_statistics():
     assert abs(float(jnp.std(w2)) - 0.5 * (2.0 / 96) ** 0.5) < 0.005
     w3 = normal_std(0.01)(key, (100, 100))
     assert abs(float(jnp.std(w3)) - 0.01) < 0.001
+
+
+def test_early_stopping_and_reload_best(tmp_path):
+    """Family-B style early stop: patience exhausts, best state reloaded."""
+    cfg = _small(preset("family_d"), tmp_path, epochs=8, hw=(16, 16))
+    cfg = cfg.replace(train=cfg.train.replace(
+        early_stop_patience=2, reload_best=True, best_metric="mean_score",
+        best_mode="max", eval_every=1))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=16)
+    hist = tr.fit(train_loader, eval_loader)
+    # either it stopped early or ran through; in both cases best exists
+    assert (tmp_path / "checkpoints" / "best").exists()
+    assert tr._best is not None
+
+
+def test_detector_bias_init(tmp_path):
+    """Family-A detector head bias initialized to the reference's plausible
+    pedestrian positions (causal_anomaly_detection.py:183-192)."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.models.family_a import MaskedPedestrianDetector
+
+    cfg = preset("causal_pipeline").model
+    det = MaskedPedestrianDetector(cfg)
+    v = det.init(jax.random.key(0), jnp.ones((1, 2, 6144)))
+    bias = np.asarray(v["params"]["detector_out"]["bias"])
+    np.testing.assert_array_equal(bias, np.asarray(
+        MaskedPedestrianDetector._BIAS, np.float32))
