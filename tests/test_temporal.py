@@ -52,3 +52,31 @@ def test_invalid_shape_raises(cpu_devices):
     v = model.init(jax.random.key(0), clips)
     with pytest.raises(ValueError):
         temporal_sharded_forward(v, clips, mesh)
+
+
+def test_sharded_gradients_match_unsharded(cpu_devices):
+    """Training through the temporally-sharded forward: grads match the
+    unsharded model (shard_map differentiates through halos/collectives)."""
+    from cvad_tpu.parallel.temporal import temporal_sharded_forward
+
+    mesh = create_mesh(data_axis=2, temporal_axis=4, devices=cpu_devices)
+    cfg = FamilyDConfig()
+    model = CausalAnomalyDetector(cfg)
+    clips = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (4, 16, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), clips)
+
+    def loss_ref(params):
+        s, _, _ = model.apply({"params": params}, clips, deterministic=True)
+        return jnp.sum(s ** 2)
+
+    def loss_sharded(params):
+        s, _, _ = temporal_sharded_forward({"params": params}, clips, mesh, cfg)
+        return jnp.sum(s ** 2)
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    g_sh = jax.grad(loss_sharded)(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
