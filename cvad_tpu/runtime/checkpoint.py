@@ -160,6 +160,106 @@ def export_family_d_torch_state(variables: Mapping[str, Any]) -> Dict[str, np.nd
     return out
 
 
+def _conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (O, I, kH, kW) -> flax (kH, kW, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convT2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I, O, kH, kW) -> flax transpose_kernel
+    (kH, kW, O, I) — verified numerically exact in tests."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def import_torch_family_b(path: str):
+    """Reference ``VideoAutoEncoder`` (``causal_anomaly_detection1.py:124-199``)
+    state dict -> framework variables + MemoryBankState.
+
+    Returns ({'params', 'batch_stats'}, MemoryBankState).  LSTM gates are
+    split from torch's fused (4H, ...) [i, f, g, o] layout into flax's
+    per-gate denses (the single flax bias on the h-side = bias_ih + bias_hh).
+    """
+    import jax.numpy as jnp
+
+    from cvad_tpu.models.family_b import MemoryBankState
+
+    sd = load_torch_state_dict(path)
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}, "lstm": {}}
+    stats: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+
+    enc_convs = {0: "conv_0", 3: "conv_1", 6: "conv_2", 9: "conv_3"}
+    enc_bns = {1: "bn_0", 4: "bn_1", 7: "bn_2", 10: "bn_3"}
+    for t_idx, name in enc_convs.items():
+        params["encoder"][name] = {
+            "kernel": _conv2d_kernel(sd[f"encoder.{t_idx}.weight"]),
+            "bias": sd[f"encoder.{t_idx}.bias"]}
+    for t_idx, name in enc_bns.items():
+        params["encoder"][name] = {"scale": sd[f"encoder.{t_idx}.weight"],
+                                   "bias": sd[f"encoder.{t_idx}.bias"]}
+        stats["encoder"][name] = {"mean": sd[f"encoder.{t_idx}.running_mean"],
+                                  "var": sd[f"encoder.{t_idx}.running_var"]}
+    params["encoder"]["fc"] = {"kernel": _dense_kernel(sd["encoder.13.weight"]),
+                               "bias": sd["encoder.13.bias"]}
+
+    params["decoder"]["fc"] = {"kernel": _dense_kernel(sd["decoder.0.weight"]),
+                               "bias": sd["decoder.0.bias"]}
+    dec_cts = {3: "deconv_0", 6: "deconv_1", 9: "deconv_2", 12: "deconv_out"}
+    dec_bns = {4: "bn_0", 7: "bn_1", 10: "bn_2"}
+    for t_idx, name in dec_cts.items():
+        params["decoder"][name] = {
+            "kernel": _convT2d_kernel(sd[f"decoder.{t_idx}.weight"]),
+            "bias": sd[f"decoder.{t_idx}.bias"]}
+    for t_idx, name in dec_bns.items():
+        params["decoder"][name] = {"scale": sd[f"decoder.{t_idx}.weight"],
+                                   "bias": sd[f"decoder.{t_idx}.bias"]}
+        stats["decoder"][name] = {"mean": sd[f"decoder.{t_idx}.running_mean"],
+                                  "var": sd[f"decoder.{t_idx}.running_var"]}
+
+    w_ih = sd["temporal_encoder.weight_ih_l0"]  # (4H, I)
+    w_hh = sd["temporal_encoder.weight_hh_l0"]  # (4H, H)
+    b = sd["temporal_encoder.bias_ih_l0"] + sd["temporal_encoder.bias_hh_l0"]
+    h = w_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    for gi, gate in enumerate(gates):
+        sl = slice(gi * h, (gi + 1) * h)
+        params["lstm"][f"i{gate}"] = {"kernel": np.transpose(w_ih[sl], (1, 0))}
+        params["lstm"][f"h{gate}"] = {"kernel": np.transpose(w_hh[sl], (1, 0)),
+                                      "bias": b[sl]}
+
+    variables = jax.tree_util.tree_map(
+        np.asarray, {"params": params, "batch_stats": stats})
+    mem = sd.get("normal_memory")
+    ptr = int(sd.get("memory_ptr", np.zeros(1))[0])
+    memory = MemoryBankState(
+        memory=jnp.asarray(mem) if mem is not None else jnp.zeros((500, h)),
+        ptr=jnp.asarray(ptr, jnp.int32),
+        # the reference uses ptr as its fill count (SURVEY.md §2.3)
+        fill=jnp.asarray(ptr, jnp.int32))
+    return variables, memory
+
+
+def import_torch_family_c(path: str):
+    """Reference ``SimpleVideoAnomalyDetector``
+    (``minicausal_vad_complete3.py:25-102``) state dict -> framework
+    variables for :class:`cvad_tpu.models.Simple3DCNNDetector`."""
+    sd = load_torch_state_dict(path)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, (conv_idx, bn_idx) in enumerate([(0, 1), (4, 5), (8, 9)]):
+        params[f"conv_{i}"] = {"conv": {
+            "kernel": _conv3d_kernel(sd[f"features.{conv_idx}.weight"]),
+            "bias": sd[f"features.{conv_idx}.bias"]}}
+        params[f"bn_{i}"] = {"scale": sd[f"features.{bn_idx}.weight"],
+                             "bias": sd[f"features.{bn_idx}.bias"]}
+        stats[f"bn_{i}"] = {"mean": sd[f"features.{bn_idx}.running_mean"],
+                            "var": sd[f"features.{bn_idx}.running_var"]}
+    for t_idx, name in ((1, "cls_1"), (4, "cls_4"), (6, "cls_6")):
+        params[name] = {"kernel": _dense_kernel(sd[f"classifier.{t_idx}.weight"]),
+                        "bias": sd[f"classifier.{t_idx}.bias"]}
+    return jax.tree_util.tree_map(
+        np.asarray, {"params": params, "batch_stats": stats})
+
+
 def import_torch_generic(path: str, params_template: Mapping[str, Any],
                          rename: Optional[Mapping[str, str]] = None
                          ) -> Dict[str, Any]:

@@ -60,8 +60,18 @@ def reference_available() -> bool:
 
 def load_reference_module(name: str):
     """Import a reference script by path (parity oracles only — reference
-    code is never copied into the framework)."""
+    code is never copied into the framework).  torchvision is absent in this
+    environment; stub its transforms namespace so module-level imports in the
+    reference succeed (the oracles under test never use it)."""
     import importlib.util
+    import sys
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
 
     path = os.path.join(REFERENCE_DIR, f"{name}.py")
     spec = importlib.util.spec_from_file_location(f"ref_{name}", path)
