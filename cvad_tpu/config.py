@@ -162,6 +162,7 @@ class FamilyAConfig(_Base):
     direct_variant: bool = True  # enhanced version w/ direct classifier + 0.6/0.4 blend
     anchor_variant: bool = False  # earlier video_anomaly_detection.py detector head
     freeze_stem: bool = True  # freeze backbone conv1/bn1 (apply_memory_efficient_training, :592-607)
+    remat: bool = False  # jax.checkpoint the backbone: trade FLOPs for HBM on large frames
     score_blend: Tuple[float, float] = (0.6, 0.4)  # causal vs direct (:574)
     scorer_blend: Tuple[float, float, float] = (0.5, 0.3, 0.2)  # causal/motion/temporal (:497)
 

@@ -1,0 +1,146 @@
+"""Clip-scoring service: the production-serving path.
+
+The reference has no serving story (its inference is the one-clip-at-a-time
+loop in ``avenue_training_script_bbox.py:328-357``).  `ClipScoringService`
+serves any registered model from framework or torch checkpoints with the
+TPU-friendly shape discipline:
+
+- requests are padded to a small set of fixed batch-size buckets so XLA
+  compiles a handful of programs once, then every request hits a cached
+  executable (no recompiles for ragged request sizes);
+- an optional background thread drains a request queue with dynamic batching
+  (coalesces concurrent small requests up to the largest bucket);
+- throughput path is the same jitted forward the benchmark measures.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+@dataclass
+class ScoreResult:
+    scores: np.ndarray
+    graphs: Optional[np.ndarray] = None
+
+
+class ClipScoringService:
+    """Batched, bucket-padded scoring over a jitted model forward."""
+
+    def __init__(self, score_fn: Callable[[np.ndarray], Tuple[np.ndarray, ...]],
+                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+        self.score_fn = score_fn
+        self.buckets = tuple(sorted(buckets))
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw) -> "ClipScoringService":
+        """Serve the flagship family-D model directly from a reference
+        .pth checkpoint (e.g. the shipped ``best_improved_model.pth``)."""
+        from cvad_tpu.evaluation.scoring import make_family_d_score_fn
+        from cvad_tpu.runtime.checkpoint import import_torch_family_d
+
+        return cls(make_family_d_score_fn(import_torch_family_d(path)), **kw)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def score(self, clips: np.ndarray) -> ScoreResult:
+        """Score (N, T, H, W, C) clips; N may be anything — requests larger
+        than the biggest bucket are chunked."""
+        n = len(clips)
+        big = self.buckets[-1]
+        if n > big:
+            parts = [self.score(clips[s:s + big]) for s in range(0, n, big)]
+            return ScoreResult(
+                scores=np.concatenate([p.scores for p in parts]),
+                graphs=(np.concatenate([p.graphs for p in parts])
+                        if parts[0].graphs is not None else None))
+        b = self._bucket(n)
+        padded = clips
+        if b != n:
+            pad = np.repeat(clips[-1:], b - n, axis=0)
+            padded = np.concatenate([clips, pad])
+        with self._lock:  # one in-flight device call; queue serializes others
+            out = self.score_fn(padded)
+        if isinstance(out, tuple):
+            scores, graphs = np.asarray(out[0]).reshape(-1), np.asarray(out[1])
+            return ScoreResult(scores[:n], graphs[:n])
+        return ScoreResult(np.asarray(out).reshape(-1)[:n])
+
+    def warmup(self) -> None:
+        """Compile every bucket once (cold-start elimination)."""
+        t, h, w, c = 8, 64, 64, 3
+        for b in self.buckets:
+            self.score(np.zeros((b, t, h, w, c), np.float32))
+
+
+@dataclass
+class _Pending:
+    clips: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[ScoreResult] = None
+
+
+class BatchingServer:
+    """Dynamic batching front-end: concurrent `submit()` calls coalesce into
+    one device batch (up to the largest bucket) drained by a worker thread."""
+
+    def __init__(self, service: ClipScoringService,
+                 max_wait_ms: float = 2.0):
+        self.service = service
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, clips: np.ndarray, timeout: float = 30.0) -> ScoreResult:
+        req = _Pending(np.asarray(clips, np.float32))
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("scoring request timed out")
+        assert req.result is not None
+        return req.result
+
+    def close(self) -> None:
+        self._stop.set()
+
+    def _run(self) -> None:
+        cap = self.service.buckets[-1]
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[_Pending] = [first]
+            total = len(first.clips)
+            # coalesce briefly
+            deadline = self.max_wait
+            try:
+                while total < cap:
+                    nxt = self._q.get(timeout=deadline)
+                    batch.append(nxt)
+                    total += len(nxt.clips)
+            except queue.Empty:
+                pass
+            clips = np.concatenate([p.clips for p in batch])
+            res = self.service.score(clips)
+            offset = 0
+            for p in batch:
+                k = len(p.clips)
+                p.result = ScoreResult(
+                    res.scores[offset:offset + k],
+                    None if res.graphs is None else res.graphs[offset:offset + k])
+                offset += k
+                p.event.set()

@@ -43,7 +43,7 @@ class ResNetBackbone(nn.Module):
     cfg: FamilyAConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, t = x.shape[0], x.shape[1]
         x = x.reshape((b * t,) + x.shape[2:])  # (B*T, H, W, C)
 
@@ -316,7 +316,13 @@ class CausalPipelineDetector(nn.Module):
                  train: bool = False, deterministic: bool = True
                  ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
-        feats = ResNetBackbone(cfg, name="backbone")(clips, train=train)
+        # optional rematerialization: recompute backbone activations in the
+        # backward pass instead of keeping them in HBM (the big win at the
+        # reference's full 240x360 frames; the reference instead shrank its
+        # batch to 2-4 to fit GPU memory)
+        backbone_cls = (nn.remat(ResNetBackbone, static_argnums=(2,))
+                        if cfg.remat else ResNetBackbone)
+        feats = backbone_cls(cfg, name="backbone")(clips, train)
         if cfg.anchor_variant:
             boxes, box_valid = AnchorPedestrianDetector(cfg, name="detector")(
                 feats, deterministic=deterministic)
