@@ -127,6 +127,42 @@ def measure_input_pipeline() -> float:
     return fps
 
 
+def measure_end_to_end_epoch() -> float:
+    """Whole-pipeline throughput: on-disk PGM frames -> C++ decode ->
+    prefetching batcher -> device double-buffer -> bf16 train step."""
+    import tempfile
+
+    from cvad_tpu.config import preset
+    from cvad_tpu.data.batcher import BatchLoader
+    from cvad_tpu.data.datasets import UCSDPed2Dataset
+    from cvad_tpu.data.synthetic import write_synthetic_video_tree
+    from cvad_tpu.train.engine import Trainer
+
+    with tempfile.TemporaryDirectory() as d:
+        write_synthetic_video_tree(d, splits=("Train",), videos_per_split=24,
+                                   frames_per_video=128, hw=(64, 64),
+                                   channels=1, fmt="pgm")
+        cfg = preset("family_d")
+        cfg = cfg.replace(
+            data=cfg.data.replace(batch_size=BATCH, stride=4, channels=3),
+            train=cfg.train.replace(out_dir="/tmp/cvad_bench_e2e",
+                                    log_every=10**9, dtype="bfloat16"))
+        ds = UCSDPed2Dataset(d, "Train", cfg.data)
+        loader = BatchLoader(ds, BATCH, shuffle=False, drop_last=True,
+                             num_threads=4, prefetch=2)
+        trainer = Trainer(cfg, mesh=None)
+        trainer.init_state(next(iter(loader)))
+        trainer.train_epoch(loader, epoch=0)  # warm epoch (compiles)
+        n_clips = len(loader) * BATCH
+        t0 = time.perf_counter()
+        trainer.train_epoch(loader, epoch=1)
+        dt = time.perf_counter() - t0
+    cps = n_clips / dt
+    log(f"end-to-end epoch (disk->decode->train): {cps:.1f} clips/s "
+        f"({n_clips} clips in {dt:.2f}s)")
+    return cps
+
+
 def measure_reference_baseline() -> float:
     """Torch reference train-step throughput on host CPU (cached)."""
     if BASELINE_CACHE.exists():
@@ -194,6 +230,7 @@ def main() -> None:
         measure_framework("float32")
         measure_inference()
         measure_input_pipeline()
+        measure_end_to_end_epoch()
     except Exception as e:  # context metrics are best-effort
         log(f"context metrics failed: {e}")
     try:

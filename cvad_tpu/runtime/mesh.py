@@ -87,6 +87,24 @@ def shard_batch(mesh: Mesh, batch, time_dim: Optional[int] = None):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def host_local_slice(n_items: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> slice:
+    """Which slice of a globally-indexed dataset this host should load.
+
+    Multi-host (DCN) input sharding: each host decodes only its shard of the
+    global batch/dataset; device placement over ICI happens per-host via
+    `shard_batch`.  Single-process returns the full range.  (The reference
+    is single-process; this is the scale-out input contract, SURVEY.md §2.9
+    collective-backend row.)
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n_items // pc
+    start = pi * per
+    end = start + per if pi < pc - 1 else n_items
+    return slice(start, end)
+
+
 def pad_to_multiple(batch, multiple: int):
     """Pad axis 0 of every array to a multiple of the data-axis size and
     return (padded_batch, valid_count).  DP requires the global batch to be

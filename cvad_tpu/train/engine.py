@@ -57,15 +57,33 @@ class Trainer:
     # -- setup ---------------------------------------------------------------
 
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> None:
+        import jax.numpy as jnp
+
         rng = jax.random.key(self.cfg.train.seed)
-        state = self.task.init_state(rng, _to_jnp(sample_batch))
+        sample = _to_jnp(sample_batch)
+        state = self.task.init_state(rng, sample)
         rep = replicated(self.mesh)
         self.state = jax.device_put(state, rep)
+
+        # metric keys, discovered without running the step
+        _, metrics_shape = jax.eval_shape(self.task.train_step, state, sample,
+                                          rng)
+        self._metric_keys = sorted(metrics_shape)
+
+        # The step returns metrics packed into ONE device vector: per-step
+        # host fetches of many tiny arrays are ruinous on high-latency
+        # interconnects (~30ms round trip each here); the engine accumulates
+        # the vector on device and fetches once per epoch.
+        def packed_step(state, batch, rng):
+            new_state, metrics = self.task.train_step(state, batch, rng)
+            vec = jnp.stack([metrics[k].astype(jnp.float32)
+                             for k in self._metric_keys])
+            return new_state, vec
 
         bsh = batch_sharding(self.mesh)
         donate = (0,) if self.cfg.train.donate_state else ()
         self._jit_train = jax.jit(
-            self.task.train_step,
+            packed_step,
             in_shardings=(rep, bsh, rep),
             donate_argnums=donate,
         )
@@ -107,23 +125,25 @@ class Trainer:
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
                     epoch: int) -> Dict[str, float]:
         assert self.state is not None, "call init_state first"
-        totals: Dict[str, float] = {}
         count = 0
         timer = StepTimer()
         nd = self.mesh.devices.size
         feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd)
+        total_vec = None  # device accumulator — no per-step host sync
         for batch in feed:
-            self.state, metrics = self._jit_train(self.state, batch, self._rng)
-            host = {k: float(v) for k, v in
-                    jax.device_get(metrics).items()}
+            self.state, vec = self._jit_train(self.state, batch, self._rng)
+            total_vec = vec if total_vec is None else total_vec + vec
             count += 1
-            for k, v in host.items():
-                totals[k] = totals.get(k, 0.0) + v
             if count % self.cfg.train.log_every == 0:
+                host = dict(zip(self._metric_keys, np.asarray(vec)))
                 t = timer.tick()
                 self.logger.log("train_batch", epoch=epoch, batch=count,
                                 **host, steps_per_s=t["steps_per_s"])
-        avg = {k: v / max(count, 1) for k, v in totals.items()}
+        if total_vec is None:
+            avg: Dict[str, float] = {}
+        else:
+            vals = np.asarray(total_vec) / max(count, 1)  # ONE fetch per epoch
+            avg = {k: float(v) for k, v in zip(self._metric_keys, vals)}
         lr = self.scheduler.lr
         self.history.record_epoch(epoch, avg.get("loss", float("nan")),
                                   {k: v for k, v in avg.items() if k != "loss"},
