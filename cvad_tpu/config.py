@@ -84,6 +84,10 @@ class DataConfig(_Base):
     prefetch: int = 2
     num_decode_threads: int = 4
     decode_backend: str = "auto"  # auto | native | pil | cv2 | npy
+    cache_decoded: bool = True  # memoize decoded clips (epochs 2+ skip decode)
+    # host->device transfer dtype: uint8 sends 4x fewer bytes; the jitted
+    # step normalizes on device (float32 = decode-side normalize)
+    transfer_dtype: str = "float32"  # float32 | uint8
     seed: int = 0
 
 

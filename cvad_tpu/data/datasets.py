@@ -23,7 +23,13 @@ from cvad_tpu.data.synthetic import make_synthetic_clips
 
 
 class ClipDataset:
-    """Frame-folder clip dataset: decode-on-access, fixed shapes."""
+    """Frame-folder clip dataset: decode-on-access with optional memoization.
+
+    With ``cfg.cache_decoded`` (default), each clip is decoded once and kept
+    as uint8 in RAM (4x smaller than f32); later epochs skip the decode
+    entirely — the reference re-decoded every frame every epoch, its true
+    input bottleneck (SURVEY.md §2 native-component note).
+    """
 
     def __init__(self, clips: Sequence[ClipSpec], labels: np.ndarray,
                  cfg: DataConfig):
@@ -31,18 +37,35 @@ class ClipDataset:
         self.clips = list(clips)
         self.labels = np.asarray(labels, np.float32)
         self.cfg = cfg
+        self._cache: dict = {} if cfg.cache_decoded else None
 
     def __len__(self) -> int:
         return len(self.clips)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.float32]:
-        spec = self.clips[idx]
         cfg = self.cfg
-        clip = self._decode_clip(spec.frames)
+        if self._cache is not None:
+            # values pass through uint8 on every epoch (consistent across
+            # epochs, and exactly the reference's precision — it resized
+            # uint8 frames before normalizing)
+            clip = self.get_uint8(idx)[0].astype(np.float32) / 255.0
+        else:
+            clip = self._decode_clip(self.clips[idx].frames)
         lo, hi = cfg.normalize_clamp
         if (lo, hi) != (0.0, 1.0):
             clip = np.clip(clip, lo, hi)  # family B clamp (:113-114)
         return clip, self.labels[idx]
+
+    def get_uint8(self, idx: int) -> Tuple[np.ndarray, np.float32]:
+        """Raw uint8 clip for the low-bandwidth transfer path (normalize
+        happens on device)."""
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx], self.labels[idx]
+        clip = self._decode_clip(self.clips[idx].frames)
+        clip8 = np.round(clip * 255.0).astype(np.uint8)
+        if self._cache is not None:
+            self._cache[idx] = clip8
+        return clip8, self.labels[idx]
 
     def _decode_clip(self, paths: Sequence[str]) -> np.ndarray:
         cfg = self.cfg
@@ -81,6 +104,10 @@ class SyntheticClipDataset:
 
     def __getitem__(self, idx: int):
         return self.data[idx], self.labels[idx]
+
+    def get_uint8(self, idx: int):
+        return (np.round(self.data[idx] * 255.0).astype(np.uint8),
+                self.labels[idx])
 
 
 def _folder_dataset(root: str, split: str, cfg: DataConfig, policy: str

@@ -158,21 +158,24 @@ class Trainer:
 
     def evaluate(self, loader: Iterable[Dict[str, np.ndarray]]
                  ) -> Dict[str, Any]:
+        import jax.numpy as jnp
+
         from cvad_tpu.runtime.mesh import pad_to_multiple, shard_batch
 
         outs: Dict[str, list] = {}
         nd = self.mesh.devices.size
         for host_batch in loader:
             padded, valid = pad_to_multiple(host_batch, nd)
-            out = jax.device_get(
-                self._jit_eval(self.state, shard_batch(self.mesh, padded)))
+            out = self._jit_eval(self.state, shard_batch(self.mesh, padded))
             for k, v in out.items():
-                v = np.asarray(v)
-                # trim DP padding rows from per-sample outputs
+                # trim DP padding rows on device; results stay device-side so
+                # the epoch needs only one host fetch at the end
                 outs.setdefault(k, []).append(
                     v[:valid] if v.ndim and v.shape[0] >= valid else v)
-        merged = {k: (np.concatenate(v) if v[0].ndim else np.asarray(v))
-                  for k, v in outs.items()}
+        merged_dev = {k: (jnp.concatenate(v) if v[0].ndim else jnp.stack(v))
+                      for k, v in outs.items()}
+        merged = {k: np.asarray(v) for k, v in
+                  jax.device_get(merged_dev).items()}
         return self._eval_metrics(merged)
 
     def _eval_metrics(self, out: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -281,7 +284,9 @@ def make_loaders(cfg: ExperimentConfig, n_synthetic: int = 256):
     bs = cfg.data.batch_size
     return (BatchLoader(train, bs, shuffle=True, seed=cfg.data.seed,
                         num_threads=cfg.data.num_decode_threads,
-                        prefetch=cfg.data.prefetch),
+                        prefetch=cfg.data.prefetch,
+                        transfer_dtype=cfg.data.transfer_dtype),
             BatchLoader(test, bs, shuffle=False,
                         num_threads=cfg.data.num_decode_threads,
-                        prefetch=cfg.data.prefetch))
+                        prefetch=cfg.data.prefetch,
+                        transfer_dtype=cfg.data.transfer_dtype))

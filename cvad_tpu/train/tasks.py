@@ -40,6 +40,22 @@ class Task:
         self.eval_step = eval_step
 
 
+def prep_clips(clips: jnp.ndarray, clamp=(0.0, 1.0)) -> jnp.ndarray:
+    """Device-side input normalization: uint8 batches (the low-bandwidth
+    host->device transfer path, 4x fewer bytes) become [0,1] float32 on
+    device; the family-B clamp applies either way."""
+    if clips.dtype == jnp.uint8:
+        clips = clips.astype(jnp.float32) / 255.0
+    lo, hi = clamp
+    if (lo, hi) != (0.0, 1.0):
+        clips = jnp.clip(clips, lo, hi)
+    return clips
+
+
+def _with_prepped_clips(batch, clamp):
+    return {**batch, "clips": prep_clips(batch["clips"], clamp)}
+
+
 def _apply_updates(state: TrainState, tx, grads, loss,
                    new_model_state: Dict[str, Any] | None = None,
                    extra=None) -> TrainState:
@@ -82,6 +98,7 @@ def _family_d_task(cfg: ExperimentConfig) -> Task:
         return make_state(variables["params"], tx)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         rng = jax.random.fold_in(rng, state.step)
         r_drop, r_pseudo = jax.random.split(rng)
         targets = pseudo_labels(r_pseudo, batch["clips"].shape[0],
@@ -100,6 +117,7 @@ def _family_d_task(cfg: ExperimentConfig) -> Task:
         return new_state, metrics
 
     def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         scores, adj, feats = model.apply({"params": state.params},
                                          batch["clips"], deterministic=True)
         return {"predictions": scores.reshape(-1), "causal_graphs": adj,
@@ -123,6 +141,7 @@ def _family_c_task(cfg: ExperimentConfig) -> Task:
                           batch_stats=variables["batch_stats"])
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -139,6 +158,7 @@ def _family_c_task(cfg: ExperimentConfig) -> Task:
         return new_state, {"loss": loss}
 
     def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         scores = model.apply(state.variables(), batch["clips"],
                              train=False, deterministic=True)
         scores = scores.reshape(-1)
@@ -166,6 +186,7 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
                           batch_stats=variables["batch_stats"], extra=mem)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         normal = (batch["labels"] == 0).astype(jnp.float32)  # (:374-378)
         n_normal = normal.sum()
 
@@ -190,6 +211,7 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
         return new_state, {"loss": loss, "n_normal": n_normal}
 
     def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         out = model.apply(state.variables(), batch["clips"], state.extra,
                           train=False)
         recon_err = jnp.mean((out["reconstructed"] - batch["clips"]) ** 2,
@@ -261,6 +283,7 @@ def _family_a_task(cfg: ExperimentConfig) -> Task:
                           batch_stats=variables["batch_stats"])
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         rng = jax.random.fold_in(rng, state.step)
         r_vae, r_drop = jax.random.split(rng)
 
@@ -278,6 +301,7 @@ def _family_a_task(cfg: ExperimentConfig) -> Task:
         return new_state, {"loss": loss, **comps}
 
     def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         out = model.apply(state.variables(), batch["clips"], train=False,
                           deterministic=True)
         return {"predictions": out["anomaly_scores"],

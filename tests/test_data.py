@@ -180,3 +180,33 @@ def test_sample_table_format():
 
     table = format_sample_table(np.array([0.9, 0.1]), np.array([1, 1]))
     assert "0.9000" in table and table.count("\n") == 2
+
+
+def test_uint8_transfer_and_cache(video_tree):
+    cfg = DataConfig(clip_len=8, stride=4, frame_size=(16, 16), channels=1,
+                     cache_decoded=True, transfer_dtype="uint8")
+    ds = UCSDPed2Dataset(video_tree, "Train", cfg)
+    clip8, _ = ds.get_uint8(0)
+    assert clip8.dtype == np.uint8
+    clipf, _ = ds[0]
+    np.testing.assert_allclose(clipf, clip8.astype(np.float32) / 255.0,
+                               atol=1e-7)
+    # cached: repeated access identical
+    again8, _ = ds.get_uint8(0)
+    np.testing.assert_array_equal(clip8, again8)
+    loader = BatchLoader(ds, 4, transfer_dtype="uint8")
+    b = next(iter(loader))
+    assert b["clips"].dtype == np.uint8
+
+
+def test_prep_clips_device_normalize():
+    import jax.numpy as jnp
+
+    from cvad_tpu.train.tasks import prep_clips
+
+    u8 = jnp.asarray(np.array([[0, 128, 255]], np.uint8))
+    f = prep_clips(u8)
+    np.testing.assert_allclose(np.asarray(f), [[0.0, 128 / 255, 1.0]],
+                               rtol=1e-6)
+    clamped = prep_clips(u8, clamp=(0.001, 0.999))
+    assert float(clamped.min()) >= 0.001 - 1e-7 and float(clamped.max()) <= 0.999 + 1e-7
