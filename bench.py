@@ -144,12 +144,14 @@ def measure_end_to_end_epoch() -> float:
                                    channels=1, fmt="pgm")
         cfg = preset("family_d")
         cfg = cfg.replace(
-            data=cfg.data.replace(batch_size=BATCH, stride=4, channels=3),
+            data=cfg.data.replace(batch_size=BATCH, stride=4, channels=3,
+                                  transfer_dtype="uint8"),
             train=cfg.train.replace(out_dir="/tmp/cvad_bench_e2e",
                                     log_every=10**9, dtype="bfloat16"))
         ds = UCSDPed2Dataset(d, "Train", cfg.data)
         loader = BatchLoader(ds, BATCH, shuffle=False, drop_last=True,
-                             num_threads=4, prefetch=2)
+                             num_threads=4, prefetch=2,
+                             transfer_dtype="uint8")
         trainer = Trainer(cfg, mesh=None)
         trainer.init_state(next(iter(loader)))
         trainer.train_epoch(loader, epoch=0)  # warm epoch (compiles)
