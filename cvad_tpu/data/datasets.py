@@ -11,7 +11,7 @@ call sites (``avenue_training_script2.py:357-365``,
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 FRAME_EXTS = (".tif", ".tiff", ".jpg", ".jpeg", ".png", ".bmp", ".pgm", ".ppm", ".npy")
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import html
 import json
 from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

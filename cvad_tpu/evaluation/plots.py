@@ -16,8 +16,7 @@ unavailable); nothing here touches the device.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Dict, Mapping, Optional, Sequence
+from typing import Mapping, Optional
 
 import numpy as np
 

@@ -21,7 +21,8 @@ TPU-first redesign (SURVEY.md §3.3 note, §7 step 6):
   memory shrinks after wraparound; we track `fill` separately (capability
   superset, noted for the parity record).
 - Min-cosine-distance scoring (``:262-301``) is a single (B, M) matmul with a
-  fill mask; `cvad_tpu.ops.memory_bank` provides a Pallas kernel for large M.
+  fill mask; `cvad_tpu.ops.pallas_kernels.memory_min_cosine_distance` is the
+  fused Pallas kernel for large memory banks.
 """
 
 from __future__ import annotations

@@ -20,7 +20,6 @@ reference in tests/test_pallas.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

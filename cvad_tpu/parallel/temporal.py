@@ -20,7 +20,6 @@ Numerically identical to the unsharded forward (tests/test_temporal.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

@@ -7,8 +7,8 @@ jitted steps from `cvad_tpu.train.tasks`.
 
 TPU-native structure: one `jax.jit`-compiled train step (state donated, batch
 sharded over the mesh's 'data' axis, params replicated — XLA inserts the
-gradient all-reduce over ICI), a device-prefetching input feed, and a single
-host sync point per step (the metrics fetch).
+gradient all-reduce over ICI), a device-prefetching input feed, metrics
+packed into one on-device vector with a single host fetch per epoch.
 """
 
 from __future__ import annotations

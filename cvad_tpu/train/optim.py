@@ -14,7 +14,7 @@ the reference's four torch schedules exactly (SURVEY.md §2.7):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import optax

@@ -9,7 +9,7 @@ checkpoint/resume and data-parallel replication trivial.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax.numpy as jnp

@@ -20,11 +20,9 @@ import optax
 from cvad_tpu.config import (ExperimentConfig, FamilyAConfig, FamilyBConfig,
                              FamilyCConfig, FamilyDConfig, LossConfig)
 from cvad_tpu.models import build_model
-from cvad_tpu.models.family_b import (init_memory, memory_anomaly_score,
-                                      update_memory)
+from cvad_tpu.models.family_b import init_memory
 from cvad_tpu.ops.losses import (binary_cross_entropy, family_a_loss,
-                                 family_b_reconstruction_loss, improved_loss,
-                                 pseudo_labels)
+                                 improved_loss, pseudo_labels)
 from cvad_tpu.train.optim import build_optimizer
 from cvad_tpu.train.state import TrainState, make_state
 
