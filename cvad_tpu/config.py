@@ -269,6 +269,9 @@ class TrainConfig(_Base):
     out_dir: str = "results"
     history_name: str = "improved_training_history.json"
     donate_state: bool = True
+    # >1: run K train steps per jit call via lax.scan over K pre-staged
+    # batches — amortizes per-dispatch latency (one device call instead of K)
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

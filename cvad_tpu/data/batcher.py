@@ -103,14 +103,18 @@ class DevicePrefetcher:
     """
 
     def __init__(self, host_batches: Iterable[Dict[str, np.ndarray]],
-                 mesh=None, pad_to_multiple: Optional[int] = None):
+                 mesh=None, pad_to_multiple: Optional[int] = None,
+                 put_fn=None):
         self.host_batches = host_batches
         self.mesh = mesh
         self.pad = pad_to_multiple
+        self.put_fn = put_fn
 
     def _put(self, batch: Dict[str, np.ndarray]):
         import jax
 
+        if self.put_fn is not None:
+            return self.put_fn(batch)
         if self.pad:
             from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
 

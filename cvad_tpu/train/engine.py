@@ -87,6 +87,26 @@ class Trainer:
             in_shardings=(rep, bsh, rep),
             donate_argnums=donate,
         )
+
+        # multi-step variant: lax.scan over K stacked batches in ONE device
+        # call — per-dispatch latency amortizes K-fold (steps_per_call > 1)
+        def multi_step(state, batches, rng):
+            def body(s, batch):
+                new_s, vec = packed_step(s, batch, rng)
+                return new_s, vec
+            state, vecs = jax.lax.scan(body, state, batches)
+            return state, vecs.sum(axis=0)
+
+        bsh_multi = batch_sharding(self.mesh, time_dim=None)
+        # batches stacked on a new leading axis: shard axis 1 (batch) on 'data'
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+        self._jit_train_multi = jax.jit(
+            multi_step,
+            in_shardings=(rep, stacked_sh, rep),
+            donate_argnums=donate,
+        )
         self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, bsh))
         self._rng = jax.device_put(jax.random.key(self.cfg.train.seed + 1), rep)
 
@@ -128,17 +148,48 @@ class Trainer:
         count = 0
         timer = StepTimer()
         nd = self.mesh.devices.size
-        feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd)
         total_vec = None  # device accumulator — no per-step host sync
-        for batch in feed:
-            self.state, vec = self._jit_train(self.state, batch, self._rng)
-            total_vec = vec if total_vec is None else total_vec + vec
-            count += 1
-            if count % self.cfg.train.log_every == 0:
-                host = dict(zip(self._metric_keys, np.asarray(vec)))
-                t = timer.tick()
-                self.logger.log("train_batch", epoch=epoch, batch=count,
-                                **host, steps_per_s=t["steps_per_s"])
+        k = max(1, self.cfg.train.steps_per_call)
+        if k > 1:
+            # full chunks arrive stacked (K, B, ...) for the scanned
+            # multi-step call; the remainder arrives as single batches
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
+            from cvad_tpu.runtime.mesh import shard_batch as _shard
+
+            stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+
+            def put_fn(item):
+                if item["clips"].ndim == 6:
+                    return jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, stacked_sh), item)
+                padded, _ = _pad(item, nd)
+                return _shard(self.mesh, padded)
+
+            feed = DevicePrefetcher(_chunk_batches(loader, k, nd),
+                                    put_fn=put_fn)
+            for item in feed:
+                if item["clips"].ndim == 6:  # stacked chunk
+                    self.state, vec = self._jit_train_multi(
+                        self.state, item, self._rng)
+                    count += k
+                else:
+                    self.state, vec = self._jit_train(self.state, item,
+                                                      self._rng)
+                    count += 1
+                total_vec = vec if total_vec is None else total_vec + vec
+        else:
+            feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd)
+            for batch in feed:
+                self.state, vec = self._jit_train(self.state, batch, self._rng)
+                total_vec = vec if total_vec is None else total_vec + vec
+                count += 1
+                if count % self.cfg.train.log_every == 0:
+                    host = dict(zip(self._metric_keys, np.asarray(vec)))
+                    t = timer.tick()
+                    self.logger.log("train_batch", epoch=epoch, batch=count,
+                                    **host, steps_per_s=t["steps_per_s"])
         if total_vec is None:
             avg: Dict[str, float] = {}
         else:
@@ -273,6 +324,33 @@ def _to_jnp(batch: Dict[str, np.ndarray]):
     import jax.numpy as jnp
 
     return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def _chunk_batches(loader, k: int, pad_multiple: int = 1):
+    """Group equal-shaped host batches into stacked (K, B, ...) chunks for
+    the scanned multi-step train call; odd-shaped and remainder batches pass
+    through singly."""
+
+    def gen():
+        from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
+
+        pending = []
+        shape = None
+        for batch in loader:
+            batch, _ = _pad(batch, pad_multiple)
+            s = batch["clips"].shape
+            if shape is not None and s != shape and pending:
+                yield from pending  # shape changed: flush singles
+                pending = []
+            shape = s
+            pending.append(batch)
+            if len(pending) == k:
+                yield {key: np.stack([b[key] for b in pending])
+                       for key in pending[0]}
+                pending = []
+        yield from pending
+
+    return gen()
 
 
 def make_loaders(cfg: ExperimentConfig, n_synthetic: int = 256):

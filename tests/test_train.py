@@ -241,3 +241,45 @@ def test_detector_bias_init(tmp_path):
     bias = np.asarray(v["params"]["detector_out"]["bias"])
     np.testing.assert_array_equal(bias, np.asarray(
         MaskedPedestrianDetector._BIAS, np.float32))
+
+
+def test_steps_per_call_equivalence(tmp_path):
+    """K scanned steps in one jit call == K sequential single-step calls."""
+    cfg = _small(preset("family_d"), tmp_path, epochs=1, batch=8, hw=(16, 16))
+    rng = np.random.default_rng(0)
+    batches = [{"clips": rng.uniform(0, 1, (8, 8, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(8, np.float32)} for _ in range(4)]
+
+    class _ListLoader(list):
+        pass
+
+    results = {}
+    for k in (1, 4):
+        cfgk = cfg.replace(train=cfg.train.replace(
+            steps_per_call=k, out_dir=str(tmp_path / f"k{k}")))
+        tr = Trainer(cfgk, mesh=_mesh1())
+        tr.init_state(batches[0])
+        avg = tr.train_epoch(_ListLoader(batches), epoch=1)
+        results[k] = (jax.device_get(tr.state.params), avg)
+
+    p1, avg1 = results[1]
+    p4, avg4 = results[4]
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+    assert abs(avg1["loss"] - avg4["loss"]) < 1e-4
+
+
+def test_steps_per_call_remainder(tmp_path):
+    """Batch count not divisible by K: remainder runs single-step."""
+    cfg = _small(preset("family_d"), tmp_path, epochs=1, batch=4, hw=(16, 16))
+    cfg = cfg.replace(train=cfg.train.replace(steps_per_call=3))
+    rng = np.random.default_rng(1)
+    batches = [{"clips": rng.uniform(0, 1, (4, 8, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(4, np.float32)} for _ in range(5)]
+    tr = Trainer(cfg, mesh=_mesh1())
+    tr.init_state(batches[0])
+    avg = tr.train_epoch(batches, epoch=1)
+    assert np.isfinite(avg["loss"])
+    assert int(jax.device_get(tr.state.step)) == 5
