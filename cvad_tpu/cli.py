@@ -81,7 +81,7 @@ def cmd_train(args) -> int:
 
         trainer.init_state(next(iter(train_loader)))
         with profile_trace(args.profile_dir):
-            trainer.train_epoch(train_loader, epoch=0)
+            trainer.train_epoch(train_loader, epoch=0, record=False)
     history = trainer.fit(train_loader, eval_loader)
     print(json.dumps({"final_loss": history["train_losses"][-1],
                       "epochs": len(history["epochs"])}))

@@ -143,7 +143,7 @@ class Trainer:
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
-                    epoch: int) -> Dict[str, float]:
+                    epoch: int, record: bool = True) -> Dict[str, float]:
         assert self.state is not None, "call init_state first"
         count = 0
         timer = StepTimer()
@@ -195,6 +195,8 @@ class Trainer:
         else:
             vals = np.asarray(total_vec) / max(count, 1)  # ONE fetch per epoch
             avg = {k: float(v) for k, v in zip(self._metric_keys, vals)}
+        if not record:  # e.g. profiling epochs: don't pollute history/schedule
+            return avg
         lr = self.scheduler.lr
         self.history.record_epoch(epoch, avg.get("loss", float("nan")),
                                   {k: v for k, v in avg.items() if k != "loss"},
