@@ -60,9 +60,13 @@ def detect_persons_motion(frame: np.ndarray, max_out: int = 3
 
 
 def _detect_motion_numpy(frame: np.ndarray, max_out: int) -> List[Detection]:
-    """Dependency-free approximation: gradient-magnitude blobs via
-    connected-component labeling on a threshold mask."""
-    from scipy import ndimage
+    """No-cv2 approximation: gradient-magnitude blobs via scipy
+    connected-component labeling.  Returns no detections when scipy is also
+    absent (the ladder degrades to zero boxes rather than crashing)."""
+    try:
+        from scipy import ndimage
+    except ImportError:
+        return []
 
     gray = frame if frame.ndim == 2 else frame.mean(axis=-1)
     gray = gray.astype(np.float32)

@@ -57,8 +57,10 @@ class ClipScoringService:
 
     def score(self, clips: np.ndarray) -> ScoreResult:
         """Score (N, T, H, W, C) clips; N may be anything — requests larger
-        than the biggest bucket are chunked."""
+        than the biggest bucket are chunked, empty requests return empty."""
         n = len(clips)
+        if n == 0:
+            return ScoreResult(scores=np.zeros(0, np.float32))
         big = self.buckets[-1]
         if n > big:
             parts = [self.score(clips[s:s + big]) for s in range(0, n, big)]
@@ -74,8 +76,9 @@ class ClipScoringService:
         with self._lock:  # one in-flight device call; queue serializes others
             out = self.score_fn(padded)
         if isinstance(out, tuple):
-            scores, graphs = np.asarray(out[0]).reshape(-1), np.asarray(out[1])
-            return ScoreResult(scores[:n], graphs[:n])
+            scores = np.asarray(out[0]).reshape(-1)
+            graphs = None if out[1] is None else np.asarray(out[1])[:n]
+            return ScoreResult(scores[:n], graphs)
         return ScoreResult(np.asarray(out).reshape(-1)[:n])
 
     def warmup(self) -> None:
@@ -114,28 +117,52 @@ class BatchingServer:
         return req.result
 
     def close(self) -> None:
+        """Stop the worker after it drains any pending requests."""
         self._stop.set()
+        self._worker.join(timeout=5.0)
+        # fail anything still enqueued so submitters don't hang
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            p.result = ScoreResult(scores=np.zeros(0, np.float32))
+            p.event.set()
 
     def _run(self) -> None:
+        import time as _time
+
         cap = self.service.buckets[-1]
-        while not self._stop.is_set():
+        while True:
             try:
-                first = self._q.get(timeout=0.1)
+                first = self._q.get(timeout=0.05)
             except queue.Empty:
+                if self._stop.is_set():
+                    return  # drained: safe to exit
                 continue
             batch: List[_Pending] = [first]
             total = len(first.clips)
-            # coalesce briefly
-            deadline = self.max_wait
-            try:
-                while total < cap:
-                    nxt = self._q.get(timeout=deadline)
-                    batch.append(nxt)
-                    total += len(nxt.clips)
-            except queue.Empty:
-                pass
+            # coalesce within one absolute window (an arrival stream must not
+            # keep extending the first request's latency)
+            deadline = _time.monotonic() + self.max_wait
+            while total < cap:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                total += len(nxt.clips)
             clips = np.concatenate([p.clips for p in batch])
-            res = self.service.score(clips)
+            try:
+                res = self.service.score(clips)
+            except Exception:  # a failed batch must not strand submitters
+                for p in batch:
+                    p.result = ScoreResult(scores=np.zeros(0, np.float32))
+                    p.event.set()
+                continue
             offset = 0
             for p in batch:
                 k = len(p.clips)

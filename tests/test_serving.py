@@ -104,3 +104,27 @@ def test_family_a_remat_equivalence(rng):
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_empty_request():
+    svc = ClipScoringService(_fake_score([]), buckets=(4,))
+    res = svc.score(np.zeros((0, 2, 4, 4, 1), np.float32))
+    assert res.scores.shape == (0,)
+
+
+def test_close_drains_pending():
+    import time
+
+    slow_calls = []
+
+    def slow_score(batch):
+        time.sleep(0.05)
+        slow_calls.append(len(batch))
+        return batch.mean(axis=(1, 2, 3, 4)), None
+
+    svc = ClipScoringService(slow_score, buckets=(4,))
+    server = BatchingServer(svc, max_wait_ms=10.0)
+    clips = np.ones((2, 2, 4, 4, 1), np.float32)
+    res = server.submit(clips)
+    assert res.scores.shape == (2,)
+    server.close()  # returns promptly, no hung submitters
