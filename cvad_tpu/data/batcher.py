@@ -104,11 +104,12 @@ class DevicePrefetcher:
 
     def __init__(self, host_batches: Iterable[Dict[str, np.ndarray]],
                  mesh=None, pad_to_multiple: Optional[int] = None,
-                 put_fn=None):
+                 put_fn=None, time_dim: Optional[int] = None):
         self.host_batches = host_batches
         self.mesh = mesh
         self.pad = pad_to_multiple
         self.put_fn = put_fn
+        self.time_dim = time_dim
 
     def _put(self, batch: Dict[str, np.ndarray]):
         import jax
@@ -122,7 +123,7 @@ class DevicePrefetcher:
         if self.mesh is not None:
             from cvad_tpu.runtime.mesh import shard_batch
 
-            return shard_batch(self.mesh, batch)
+            return shard_batch(self.mesh, batch, time_dim=self.time_dim)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     def __iter__(self):

@@ -81,10 +81,19 @@ def shard_batch(mesh: Mesh, batch, time_dim: Optional[int] = None):
     """Device-put a host batch with the canonical batch sharding.
 
     This is the host->device boundary, replacing the reference's per-batch
-    ``videos.to(device)`` (``avenue_training_script2.py:218-219``).
+    ``videos.to(device)`` (``avenue_training_script2.py:218-219``).  With
+    `time_dim` set, leaves with enough rank (clips) shard their T axis over
+    'time' as well — XLA's SPMD partitioner inserts the conv halo exchanges
+    automatically; lower-rank leaves (labels) shard batch-only.
     """
-    sh = batch_sharding(mesh, time_dim)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    data_sh = batch_sharding(mesh, None)
+    time_sh = batch_sharding(mesh, time_dim) if time_dim is not None else data_sh
+
+    def put(x):
+        sh = time_sh if (time_dim is not None and x.ndim > time_dim) else data_sh
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def host_local_slice(n_items: int, process_index: Optional[int] = None,

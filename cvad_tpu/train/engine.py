@@ -80,7 +80,13 @@ class Trainer:
                              for k in self._metric_keys])
             return new_state, vec
 
-        bsh = batch_sharding(self.mesh)
+        # when the mesh has a 'time' axis, clips additionally shard their T
+        # axis — GSPMD inserts the temporal-conv halo exchanges (numerically
+        # identical to unsharded; tests/test_temporal.py)
+        self._time_dim = 1 if self.mesh.shape.get("time", 1) > 1 else None
+        bsh_data = batch_sharding(self.mesh)
+        bsh_clips = batch_sharding(self.mesh, self._time_dim)
+        bsh = {"clips": bsh_clips, "labels": bsh_data}
         donate = (0,) if self.cfg.train.donate_state else ()
         self._jit_train = jax.jit(
             packed_step,
@@ -97,7 +103,6 @@ class Trainer:
             state, vecs = jax.lax.scan(body, state, batches)
             return state, vecs.sum(axis=0)
 
-        bsh_multi = batch_sharding(self.mesh, time_dim=None)
         # batches stacked on a new leading axis: shard axis 1 (batch) on 'data'
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -147,7 +152,7 @@ class Trainer:
         assert self.state is not None, "call init_state first"
         count = 0
         timer = StepTimer()
-        nd = self.mesh.devices.size
+        nd = self.mesh.shape["data"]  # batch shards over 'data' only
         total_vec = None  # device accumulator — no per-step host sync
         k = max(1, self.cfg.train.steps_per_call)
         if k > 1:
@@ -180,7 +185,8 @@ class Trainer:
                     count += 1
                 total_vec = vec if total_vec is None else total_vec + vec
         else:
-            feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd)
+            feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd,
+                                    time_dim=self._time_dim)
             for batch in feed:
                 self.state, vec = self._jit_train(self.state, batch, self._rng)
                 total_vec = vec if total_vec is None else total_vec + vec
@@ -216,10 +222,12 @@ class Trainer:
         from cvad_tpu.runtime.mesh import pad_to_multiple, shard_batch
 
         outs: Dict[str, list] = {}
-        nd = self.mesh.devices.size
+        nd = self.mesh.shape["data"]
         for host_batch in loader:
             padded, valid = pad_to_multiple(host_batch, nd)
-            out = self._jit_eval(self.state, shard_batch(self.mesh, padded))
+            out = self._jit_eval(self.state,
+                                 shard_batch(self.mesh, padded,
+                                             time_dim=self._time_dim))
             for k, v in out.items():
                 # trim DP padding rows on device; results stay device-side so
                 # the epoch needs only one host fetch at the end

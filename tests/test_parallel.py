@@ -93,3 +93,16 @@ def test_graft_entry_dryrun(cpu_devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_host_local_slice():
+    from cvad_tpu.runtime.mesh import host_local_slice
+
+    # single process: full range
+    assert host_local_slice(100, 0, 1) == slice(0, 100)
+    # 4 hosts: contiguous shards, last takes the remainder
+    slices = [host_local_slice(103, i, 4) for i in range(4)]
+    assert slices[0] == slice(0, 25)
+    assert slices[3] == slice(75, 103)
+    covered = sum(s.stop - s.start for s in slices)
+    assert covered == 103

@@ -80,3 +80,34 @@ def test_sharded_gradients_match_unsharded(cpu_devices):
                     jax.tree_util.tree_leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_trainer_with_time_axis_matches_data_only(cpu_devices, tmp_path):
+    """End-to-end training on a (2 data x 4 time) mesh equals a (2 data)
+    mesh: GSPMD's automatic temporal partitioning does not change numerics."""
+    from cvad_tpu.config import preset
+    from cvad_tpu.train.engine import Trainer
+
+    cfg = preset("family_d")
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=4, frame_size=(16, 16), clip_len=16),
+        train=cfg.train.replace(num_epochs=1, eval_every=1, save_interval=0,
+                                log_every=10**9, out_dir=str(tmp_path)))
+    rng = np.random.default_rng(0)
+    batches = [{"clips": rng.uniform(0, 1, (4, 16, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(4, np.float32)} for _ in range(2)]
+
+    params = {}
+    for name, (d, t) in (("data_only", (2, 1)), ("data_time", (2, 4))):
+        mesh = create_mesh(data_axis=d, temporal_axis=t,
+                           devices=cpu_devices[:d * t])
+        tr = Trainer(cfg.replace(train=cfg.train.replace(
+            out_dir=str(tmp_path / name))), mesh=mesh)
+        tr.init_state(batches[0])
+        tr.train_epoch(batches, epoch=1)
+        params[name] = jax.device_get(tr.state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(params["data_only"]),
+                    jax.tree_util.tree_leaves(params["data_time"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
