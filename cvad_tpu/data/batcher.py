@@ -40,6 +40,14 @@ class BatchLoader:
         # on device (cvad_tpu.train.tasks.prep_clips)
         self.transfer_dtype = transfer_dtype
         self._epoch = 0
+        self._executor = None
+
+    def _pool(self):
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(max_workers=self.num_threads)
+        return self._executor
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -60,7 +68,11 @@ class BatchLoader:
         use_u8 = (self.transfer_dtype == "uint8"
                   and hasattr(self.dataset, "get_uint8"))
         get = self.dataset.get_uint8 if use_u8 else self.dataset.__getitem__
-        items = [get(int(i)) for i in indices]
+        if self.num_threads > 1 and len(indices) > 1:
+            # decode items in parallel (native/PIL decode releases the GIL)
+            items = list(self._pool().map(lambda i: get(int(i)), indices))
+        else:
+            items = [get(int(i)) for i in indices]
         clips = np.stack([c for c, _ in items])
         labels = np.asarray([l for _, l in items], np.float32)
         if self.torch_layout:  # (B, T, H, W, C) -> (B, C, T, H, W)
