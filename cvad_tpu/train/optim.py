@@ -49,21 +49,31 @@ def get_lr(opt_state) -> float:
 
 
 def set_lr(opt_state, lr: float):
-    """Return a new opt_state with the injected learning rate replaced."""
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
-        return tuple(set_lr(s, lr) for s in opt_state)
+    """Return a new opt_state with the injected learning rate replaced.
+
+    Structure-preserving: recursion descends only plain chain tuples and
+    wrapper states' ``inner_state`` (optax.masked, multi_transform, ...);
+    NamedTuple states are rebuilt via ``_replace``, never flattened.
+    """
     hp = getattr(opt_state, "hyperparams", None)
     if hp is not None and "learning_rate" in hp:
         new_hp = dict(hp)
         new_hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt_state._replace(hyperparams=new_hp)
+    if hasattr(opt_state, "inner_state") and hasattr(opt_state, "_replace"):
+        return opt_state._replace(inner_state=set_lr(opt_state.inner_state, lr))
+    if type(opt_state) is tuple:  # chain state; excludes NamedTuples
+        return tuple(set_lr(s, lr) for s in opt_state)
     return opt_state
 
 
 def _iter_states(opt_state):
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+    if type(opt_state) is tuple:
         for s in opt_state:
             yield from _iter_states(s)
+    elif hasattr(opt_state, "inner_state"):
+        yield opt_state
+        yield from _iter_states(opt_state.inner_state)
     else:
         yield opt_state
 

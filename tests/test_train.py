@@ -283,3 +283,46 @@ def test_steps_per_call_remainder(tmp_path):
     avg = tr.train_epoch(batches, epoch=1)
     assert np.isfinite(avg["loss"])
     assert int(jax.device_get(tr.state.step)) == 5
+
+
+def test_lr_update_preserves_masked_opt_state(tmp_path):
+    """Regression: set_lr must not flatten NamedTuple optimizer states
+    (family A wraps its tx in optax.masked for stem freezing; a cosine
+    schedule fires set_lr every epoch and the next step must still run)."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.train.optim import get_lr, set_lr
+
+    cfg = preset("causal_pipeline")
+    cfg = cfg.replace(model=cfg.model.replace(frame_hw=(32, 48)),
+                      data=cfg.data.replace(frame_size=(32, 48), clip_len=4,
+                                            batch_size=4))
+    cfg = _small(cfg, tmp_path, epochs=1, batch=4, hw=(32, 48))
+    task = build_task(cfg)
+    batch = {"clips": jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (4, 4, 32, 48, 1)), jnp.float32),
+        "labels": jnp.zeros(4)}
+    state = task.init_state(jax.random.key(0), batch)
+    state, _ = task.train_step(state, batch, jax.random.key(1))
+    new_opt = set_lr(state.opt_state, 1e-5)
+    assert abs(get_lr(new_opt) - 1e-5) < 1e-9
+    # structure preserved: another step runs on the updated state
+    state = state.replace(opt_state=new_opt)
+    state2, metrics = task.train_step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_family_a_multiepoch_cosine(tmp_path):
+    """Two epochs with the cosine schedule (lr changes between epochs)."""
+    cfg = preset("causal_pipeline")
+    cfg = cfg.replace(model=cfg.model.replace(frame_hw=(32, 48)),
+                      data=cfg.data.replace(frame_size=(32, 48), clip_len=4,
+                                            batch_size=4))
+    cfg = _small(cfg, tmp_path, epochs=2, batch=4, hw=(32, 48))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=8)
+    hist = tr.fit(train_loader, eval_loader)
+    assert len(hist["train_losses"]) == 2
+    assert all(np.isfinite(l) for l in hist["train_losses"])
+    # cosine actually moved the lr
+    assert hist["learning_rates"][0] != tr.scheduler.lr
