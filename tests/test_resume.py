@@ -78,3 +78,25 @@ def test_anchor_variant_forward(tmp_path):
                                np.asarray(out["causal_anomaly_scores"]),
                                rtol=1e-6)
     assert bool(out["detection_mask"].any(axis=-1).all())
+
+
+def test_checkpoint_gc_keeps_max(tmp_path):
+    """CheckpointManager prunes old step checkpoints (max_to_keep)."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.runtime.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    state = {"w": jnp.arange(4.0)}
+    for step in (1, 2, 3, 4):
+        mgr.save(step, {"w": jnp.arange(4.0) + step}, wait=True)
+    steps = sorted(int(p.name.split("_")[1]) for p in tmp_path.glob("step_*"))
+    assert steps == [3, 4]
+    assert mgr.latest_step() == 4
+    restored = mgr.restore(4, state)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(4.0) + 4)
+    # named checkpoints ('best') are never GC'd
+    mgr.save("best", state, wait=True)
+    mgr.save(5, state, wait=True)
+    assert (tmp_path / "best").exists()
