@@ -38,7 +38,7 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3) -> float:
     import jax
 
     from cvad_tpu.config import preset
-    from cvad_tpu.runtime.mesh import create_mesh, shard_batch
+    from cvad_tpu.runtime.mesh import create_mesh
     from cvad_tpu.train.engine import Trainer
 
     cfg = preset("family_d")
@@ -55,7 +55,7 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3) -> float:
         "labels": np.zeros(BATCH, np.float32),
     }
     trainer.init_state(batch)
-    sharded = shard_batch(mesh, batch)
+    sharded = trainer.put_batch(batch)
 
     for _ in range(WARMUP):
         trainer.state, metrics = trainer._jit_train(trainer.state, sharded,

@@ -129,9 +129,9 @@ class DevicePrefetcher:
         if self.put_fn is not None:
             return self.put_fn(batch)
         if self.pad:
-            from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
+            from cvad_tpu.runtime.mesh import pad_with_valid as _pad
 
-            batch, _ = _pad(batch, self.pad)
+            batch = _pad(batch, self.pad)  # carries the "valid" loss mask
         if self.mesh is not None:
             from cvad_tpu.runtime.mesh import shard_batch
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from cvad_tpu.config import FamilyAConfig
-from cvad_tpu.models.layers import MLP, adaptive_avg_pool2d
+from cvad_tpu.models.layers import MLP, MaskedBatchNorm, adaptive_avg_pool2d
 
 
 class ResNetBackbone(nn.Module):
@@ -43,13 +43,15 @@ class ResNetBackbone(nn.Module):
     cfg: FamilyAConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 sample_valid: jnp.ndarray | None = None) -> jnp.ndarray:
         b, t = x.shape[0], x.shape[1]
         x = x.reshape((b * t,) + x.shape[2:])  # (B*T, H, W, C)
+        # DP-padding mask per clip -> per folded frame row
+        fvalid = None if sample_valid is None else jnp.repeat(sample_valid, t)
 
         def bn(h, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=name)(h)
+            return MaskedBatchNorm(name=name)(h, train=train, valid=fvalid)
 
         ch = self.cfg.backbone_channels
         x = nn.Conv(ch[0], (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -313,7 +315,8 @@ class CausalPipelineDetector(nn.Module):
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, rng: Optional[jax.Array] = None,
-                 train: bool = False, deterministic: bool = True
+                 train: bool = False, deterministic: bool = True,
+                 sample_valid: Optional[jnp.ndarray] = None
                  ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         # optional rematerialization: recompute backbone activations in the
@@ -322,7 +325,7 @@ class CausalPipelineDetector(nn.Module):
         # batch to 2-4 to fit GPU memory)
         backbone_cls = (nn.remat(ResNetBackbone, static_argnums=(2,))
                         if cfg.remat else ResNetBackbone)
-        feats = backbone_cls(cfg, name="backbone")(clips, train)
+        feats = backbone_cls(cfg, name="backbone")(clips, train, sample_valid)
         if cfg.anchor_variant:
             boxes, box_valid = AnchorPedestrianDetector(cfg, name="detector")(
                 feats, deterministic=deterministic)

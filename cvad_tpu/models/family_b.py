@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from cvad_tpu.config import FamilyBConfig
 from cvad_tpu.models.init import kaiming_normal_fan_out, xavier_normal
+from cvad_tpu.models.layers import MaskedBatchNorm
 
 # reference init_weights scheme (causal_anomaly_detection1.py:29-42)
 _CONV_INIT = kaiming_normal_fan_out("leaky_relu", a=0.0)
@@ -74,15 +75,15 @@ def memory_anomaly_score(state: MemoryBankState, feats: jnp.ndarray,
     """Min cosine distance to populated memory, scaled to [0, 1]
     (reference ``compute_anomaly_score`` ``:262-301``): L2-normalize both
     sides, similarities clamped to [-1, 1], distance = 1 - sim, min over
-    memory, clamp [0, 2], /2.  Returns zeros until `min_fill` slots exist."""
-    eps = 1e-8
-    q = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), eps)
-    mem = state.memory / jnp.maximum(
-        jnp.linalg.norm(state.memory, axis=-1, keepdims=True), eps)
-    sims = jnp.clip(q @ mem.T, -1.0, 1.0)  # (B, M)
-    valid = jnp.arange(mem.shape[0]) < state.fill
-    dists = jnp.where(valid[None, :], 1.0 - sims, jnp.inf)
-    score = jnp.clip(jnp.min(dists, axis=1), 0.0, 2.0) / 2.0
+    memory, clamp [0, 2], /2.  Returns zeros until `min_fill` slots exist.
+
+    Dispatches to the fused Pallas kernel
+    (`cvad_tpu.ops.pallas_kernels.memory_min_cosine_distance`) on TPU — one
+    VMEM-resident normalize+matmul+mask+min pass — and plain XLA elsewhere;
+    equivalence is covered in tests/test_pallas.py."""
+    from cvad_tpu.ops.pallas_kernels import memory_min_cosine_distance
+
+    score = memory_min_cosine_distance(feats, state.memory, state.fill)
     return jnp.where(state.fill >= min_fill, score, jnp.zeros_like(score))
 
 
@@ -92,12 +93,12 @@ class _FrameEncoder(nn.Module):
     cfg: FamilyBConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
         for i, c in enumerate(self.cfg.conv_channels):
             x = nn.Conv(c, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         kernel_init=_CONV_INIT, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn_{i}")(x)
+            x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
         # channel-major flatten to mirror torch nn.Flatten on (B, 128, 4, 4)
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
@@ -110,7 +111,8 @@ class _FrameDecoder(nn.Module):
     cfg: FamilyBConfig
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, *, train: bool = False,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
         ch = self.cfg.conv_channels  # (32, 64, 128, 128)
         x = nn.leaky_relu(nn.Dense(ch[-1] * 4 * 4, kernel_init=_DENSE_INIT, name="fc")(z),
                           negative_slope=self.cfg.leaky_slope)
@@ -121,8 +123,7 @@ class _FrameDecoder(nn.Module):
             x = nn.ConvTranspose(c, (4, 4), strides=(2, 2),
                                  padding=[(2, 2), (2, 2)], transpose_kernel=True,
                                  kernel_init=_CONV_INIT, name=f"deconv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn_{i}")(x)
+            x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
         x = nn.ConvTranspose(self.cfg.in_channels, (4, 4), strides=(2, 2),
                              padding=[(2, 2), (2, 2)], transpose_kernel=True,
@@ -151,7 +152,8 @@ class MemoryVideoAutoEncoder(nn.Module):
         else:
             self.lstm = nn.OptimizedLSTMCell(features=self.cfg.lstm_hidden)
 
-    def encode_sequence(self, frames: jnp.ndarray, *, train: bool = False
+    def encode_sequence(self, frames: jnp.ndarray, *, train: bool = False,
+                        valid: jnp.ndarray | None = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, T, H, W, C) -> (sequence_feature (B, D), frame_features (B, T, D)).
 
@@ -161,7 +163,8 @@ class MemoryVideoAutoEncoder(nn.Module):
         """
         b, t = frames.shape[0], frames.shape[1]
         flat = frames.reshape((b * t,) + frames.shape[2:])
-        z = self.encoder(flat, train=train).reshape(b, t, -1)
+        fvalid = None if valid is None else jnp.repeat(valid, t)
+        z = self.encoder(flat, train=train, valid=fvalid).reshape(b, t, -1)
 
         if self.cfg.temporal_encoder == "attention":
             return self.temporal(z), z
@@ -177,16 +180,19 @@ class MemoryVideoAutoEncoder(nn.Module):
         return h_n, z
 
     def decode_sequence(self, seq_feature: jnp.ndarray, t: int, *,
-                        train: bool = False) -> jnp.ndarray:
+                        train: bool = False,
+                        valid: jnp.ndarray | None = None) -> jnp.ndarray:
         """One decode, broadcast over T (identical to the reference's T
         redundant decodes of the same feature, ``:248-260``)."""
-        frame = self.decoder(seq_feature, train=train)  # (B, H, W, C)
+        frame = self.decoder(seq_feature, train=train, valid=valid)  # (B, H, W, C)
         return jnp.broadcast_to(frame[:, None], (frame.shape[0], t) + frame.shape[1:])
 
     def __call__(self, frames: jnp.ndarray, memory: MemoryBankState, *,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
-        seq, per_frame = self.encode_sequence(frames, train=train)
-        recon = self.decode_sequence(seq, frames.shape[1], train=train)
+                 train: bool = False,
+                 valid: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
+        seq, per_frame = self.encode_sequence(frames, train=train, valid=valid)
+        recon = self.decode_sequence(seq, frames.shape[1], train=train,
+                                     valid=valid)
         score = memory_anomaly_score(memory, seq, self.cfg.memory_min_fill)
         return {
             "reconstructed": recon,

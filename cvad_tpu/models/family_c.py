@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from cvad_tpu.config import FamilyCConfig
 from cvad_tpu.models.init import kaiming_normal_fan_out, normal_std
-from cvad_tpu.models.layers import Conv3dTorch, max_pool3d
+from cvad_tpu.models.layers import Conv3dTorch, MaskedBatchNorm, max_pool3d
 
 
 class Simple3DCNNDetector(nn.Module):
@@ -31,15 +31,15 @@ class Simple3DCNNDetector(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
         conv_init = kaiming_normal_fan_out("relu")
         dense_init = normal_std(0.01)
         c1, c2, c3 = self.cfg.conv_channels
         pools = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]  # minicausal_vad_complete3.py:41,47,53
         for i, (c, pool) in enumerate(zip((c1, c2, c3), pools)):
             x = Conv3dTorch(c, kernel_init=conv_init, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn_{i}")(x)
+            x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.relu(x)
             x = max_pool3d(x, pool)
         x = x.mean(axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1)) + flatten (:56,96-97)

@@ -166,6 +166,54 @@ class MLP(nn.Module):
         return x
 
 
+class MaskedBatchNorm(nn.Module):
+    """Drop-in ``nn.BatchNorm`` whose train-mode batch statistics can exclude
+    rows masked out by `valid` (DP remainder padding), making padded batches
+    gradient-identical to their unpadded counterparts even through BN.
+
+    Same parameter/collection names as ``nn.BatchNorm`` ("scale"/"bias" in
+    params, "mean"/"var" in batch_stats), and bit-identical math when
+    `valid is None` (mean-of-squares fast variance, running update
+    ``m*ra + (1-m)*batch``), so torch checkpoint import maps unchanged.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(feat, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(feat, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            if valid is None:
+                mean = jnp.mean(x, axes)
+                mean2 = jnp.mean(x * x, axes)
+            else:
+                w = valid.reshape((-1,) + (1,) * (x.ndim - 1))
+                cnt = jnp.maximum(valid.sum() * (x[..., 0].size / x.shape[0]),
+                                  1.0)
+                mean = jnp.sum(x * w, axes) / cnt
+                mean2 = jnp.sum(x * x * w, axes) / cnt
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (x - mean) * mul + bias
+
+
 class BatchNorm(nn.Module):
     """Torch-default BatchNorm (eps 1e-5, momentum 0.1) over the last axis.
 

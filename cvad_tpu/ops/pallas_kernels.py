@@ -29,13 +29,6 @@ import numpy as np
 _EPS = 1e-8
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -70,13 +63,26 @@ def memory_min_cosine_distance(query: jnp.ndarray, memory: jnp.ndarray,
     scaled to [0, 1].  query (B, D), memory (M, D) -> (B,).
 
     Matches `cvad_tpu.models.family_b.memory_anomaly_score`'s core (without
-    the min-fill gate, which stays with the caller).
+    the min-fill gate, which stays with the caller).  Differentiable: the
+    backward pass re-derives gradients through the XLA reference expression
+    (`jax.custom_vjp`), so the fused kernel can sit inside a training forward.
     """
-    if use_pallas is None:
-        use_pallas = _on_tpu()
-    if not (use_pallas or interpret):
-        return _memory_xla(query, memory, fill)
+    q = jnp.asarray(query, jnp.float32)
+    mem = jnp.asarray(memory, jnp.float32)
+    fill_f = jnp.asarray(fill, jnp.float32)
+    if interpret:
+        return _MEMORY_INTERP(q, mem, fill_f)
+    if use_pallas is True:
+        return _MEMORY_PALLAS(q, mem, fill_f)
+    if use_pallas is False:
+        return _memory_xla(q, mem, fill_f)
+    # auto: select at lowering time — the fused kernel on TPU, XLA elsewhere
+    # (works inside jit regardless of which backends are registered)
+    return jax.lax.platform_dependent(q, mem, fill_f, tpu=_MEMORY_PALLAS,
+                                      default=_memory_xla)
 
+
+def _memory_pallas_impl(query, memory, fill_f, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -87,7 +93,7 @@ def memory_min_cosine_distance(query: jnp.ndarray, memory: jnp.ndarray,
     mp = _round_up(max(m, 8), 8)
     qp = jnp.zeros((bp, dp), jnp.float32).at[:b, :d].set(query)
     memp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(memory)
-    fill_arr = jnp.asarray(fill, jnp.int32).reshape(1)
+    fill_arr = fill_f.astype(jnp.int32).reshape(1)
 
     out = pl.pallas_call(
         _memory_kernel,
@@ -101,6 +107,28 @@ def memory_min_cosine_distance(query: jnp.ndarray, memory: jnp.ndarray,
         interpret=interpret,
     )(fill_arr, qp, memp)
     return out[:b, 0]
+
+
+def _make_memory_custom(interpret: bool):
+    @jax.custom_vjp
+    def f(query, memory, fill_f):
+        return _memory_pallas_impl(query, memory, fill_f, interpret)
+
+    def fwd(query, memory, fill_f):
+        return f(query, memory, fill_f), (query, memory, fill_f)
+
+    def bwd(res, ct):
+        query, memory, fill_f = res
+        _, vjp = jax.vjp(lambda q, m: _memory_xla(q, m, fill_f), query, memory)
+        dq, dm = vjp(ct)
+        return dq, dm, jnp.zeros_like(fill_f)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_MEMORY_PALLAS = _make_memory_custom(False)
+_MEMORY_INTERP = _make_memory_custom(True)
 
 
 def _memory_xla(query, memory, fill):
@@ -145,13 +173,29 @@ def pairwise_l1_mean(flat: jnp.ndarray, mask: jnp.ndarray, *,
     """Mean over unordered pairs {i<j, mask_i & mask_j} of mean_k|f_i - f_j|.
 
     Returns (avg_distance, n_pairs); avg is 0 when no pairs.  flat (B, N),
-    mask (B,) in {0,1}.
-    """
-    if use_pallas is None:
-        use_pallas = _on_tpu()
-    if not (use_pallas or interpret):
-        return _pairwise_xla(flat, mask)
+    mask (B,) in {0,1}.  Differentiable via `jax.custom_vjp` (backward through
+    the XLA reference expression), so the family-D consistency loss can call
+    it directly in the train step.
 
+    Default implementation is the vectorized XLA broadcast: measured on the
+    TPU v5 lite chip at the production size (B=256, N=256) it runs at the
+    dispatch-latency floor (~0.75 ms fwd+bwd), while the row-streaming Pallas
+    kernel's serial fori_loop takes ~250 ms and an O(B N log B) per-column
+    sort reformulation ~1.4 ms (TPU sorts are bitonic networks).  XLA fuses
+    the (B, B, N) broadcast without materializing it badly enough to matter
+    at these sizes; `use_pallas=True` keeps the kernel reachable for tests
+    and for future large-B regimes.
+    """
+    f = jnp.asarray(flat, jnp.float32)
+    m = mask.astype(jnp.float32)
+    if interpret:
+        return _PAIRWISE_INTERP(f, m)
+    if use_pallas is True:
+        return _PAIRWISE_PALLAS(f, m)
+    return _pairwise_xla(f, m)
+
+
+def _pairwise_pallas_impl(flat, mask, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -161,7 +205,7 @@ def pairwise_l1_mean(flat: jnp.ndarray, mask: jnp.ndarray, *,
     # zero-pad: padded feature columns contribute |0-0| to the row mean, so
     # rescale by np_/n afterwards; padded rows have mask 0
     fp = jnp.zeros((bp, np_), jnp.float32).at[:b, :n].set(flat)
-    mp = jnp.zeros((bp, 1), jnp.float32).at[:b, 0].set(mask.astype(jnp.float32))
+    mp = jnp.zeros((bp, 1), jnp.float32).at[:b, 0].set(mask)
 
     total, count = pl.pallas_call(
         _pairwise_kernel,
@@ -174,12 +218,33 @@ def pairwise_l1_mean(flat: jnp.ndarray, mask: jnp.ndarray, *,
         interpret=interpret,
     )(fp, mp)
     total = total[0, 0] * (np_ / n)
-    s = jnp.sum(mask.astype(jnp.float32))
+    s = jnp.sum(mask)
     n_pairs = s * (s - 1) / 2
     # kernel counted ordered pairs incl. diagonal (d_ii = 0): total is
     # 2 * upper-sum, so halve
     avg = jnp.where(n_pairs > 0, total / 2.0 / jnp.maximum(n_pairs, 1.0), 0.0)
     return avg, n_pairs
+
+
+def _make_pairwise_custom(interpret: bool):
+    @jax.custom_vjp
+    def f(flat, mask):
+        return _pairwise_pallas_impl(flat, mask, interpret)
+
+    def fwd(flat, mask):
+        return f(flat, mask), (flat, mask)
+
+    def bwd(res, ct):
+        flat, mask = res
+        _, vjp = jax.vjp(_pairwise_xla, flat, mask)
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_PAIRWISE_PALLAS = _make_pairwise_custom(False)
+_PAIRWISE_INTERP = _make_pairwise_custom(True)
 
 
 def _pairwise_xla(flat, mask):

@@ -131,3 +131,14 @@ def pad_to_multiple(batch, multiple: int):
         return np.pad(np.asarray(x), widths, mode="edge")
 
     return jax.tree_util.tree_map(_pad, batch), n
+
+
+def pad_with_valid(batch: dict, multiple: int) -> dict:
+    """`pad_to_multiple` for train batches: pads axis 0 to a multiple of the
+    data-axis size AND carries a ``"valid"`` float mask so the jitted step can
+    exclude the padded rows from the loss/update (edge-mode duplicate rows
+    would otherwise double-count the last clips in the gradient — the
+    reference simply ran the small remainder batch on its single device)."""
+    padded, n = pad_to_multiple(batch, multiple)
+    total = jax.tree_util.tree_leaves(padded)[0].shape[0]
+    return {**padded, "valid": (np.arange(total) < n).astype(np.float32)}

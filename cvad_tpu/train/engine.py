@@ -65,7 +65,10 @@ class Trainer:
         rep = replicated(self.mesh)
         self.state = jax.device_put(state, rep)
 
-        # metric keys, discovered without running the step
+        # metric keys, discovered without running the step (the engine always
+        # feeds a "valid" mask, so discover keys with one present)
+        sample = {**sample, "valid": jnp.ones(
+            jax.tree_util.tree_leaves(sample)[0].shape[0], jnp.float32)}
         _, metrics_shape = jax.eval_shape(self.task.train_step, state, sample,
                                           rng)
         self._metric_keys = sorted(metrics_shape)
@@ -86,7 +89,9 @@ class Trainer:
         self._time_dim = 1 if self.mesh.shape.get("time", 1) > 1 else None
         bsh_data = batch_sharding(self.mesh)
         bsh_clips = batch_sharding(self.mesh, self._time_dim)
-        bsh = {"clips": bsh_clips, "labels": bsh_data}
+        # every engine-fed batch carries a "valid" mask (all-ones when the
+        # batch divides the mesh) so remainder batches are gradient-exact
+        bsh = {"clips": bsh_clips, "labels": bsh_data, "valid": bsh_data}
         donate = (0,) if self.cfg.train.donate_state else ()
         self._jit_train = jax.jit(
             packed_step,
@@ -114,6 +119,16 @@ class Trainer:
         )
         self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, bsh))
         self._rng = jax.device_put(jax.random.key(self.cfg.train.seed + 1), rep)
+
+    def put_batch(self, host_batch: Dict[str, np.ndarray]):
+        """Pad a host batch to the mesh, attach the "valid" loss mask, and
+        device-put it with the canonical shardings — the one-call host->device
+        boundary for direct `_jit_train`/`_jit_eval` use (bench, dryrun)."""
+        from cvad_tpu.runtime.mesh import pad_with_valid, shard_batch
+
+        padded = pad_with_valid(host_batch, self.mesh.shape["data"])
+        return shard_batch(self.mesh, padded,
+                           time_dim=getattr(self, "_time_dim", None))
 
     def restore(self, sample_batch: Dict[str, np.ndarray],
                 step="latest") -> Optional[int]:
@@ -160,7 +175,7 @@ class Trainer:
             # multi-step call; the remainder arrives as single batches
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
+            from cvad_tpu.runtime.mesh import pad_with_valid as _pad
             from cvad_tpu.runtime.mesh import shard_batch as _shard
 
             stacked_sh = NamedSharding(self.mesh, P(None, "data"))
@@ -169,8 +184,7 @@ class Trainer:
                 if item["clips"].ndim == 6:
                     return jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, stacked_sh), item)
-                padded, _ = _pad(item, nd)
-                return _shard(self.mesh, padded)
+                return _shard(self.mesh, _pad(item, nd))
 
             feed = DevicePrefetcher(_chunk_batches(loader, k, nd),
                                     put_fn=put_fn)
@@ -219,12 +233,13 @@ class Trainer:
                  ) -> Dict[str, Any]:
         import jax.numpy as jnp
 
-        from cvad_tpu.runtime.mesh import pad_to_multiple, shard_batch
+        from cvad_tpu.runtime.mesh import pad_with_valid, shard_batch
 
         outs: Dict[str, list] = {}
         nd = self.mesh.shape["data"]
         for host_batch in loader:
-            padded, valid = pad_to_multiple(host_batch, nd)
+            valid = jax.tree_util.tree_leaves(host_batch)[0].shape[0]
+            padded = pad_with_valid(host_batch, nd)
             out = self._jit_eval(self.state,
                                  shard_batch(self.mesh, padded,
                                              time_dim=self._time_dim))
@@ -342,12 +357,12 @@ def _chunk_batches(loader, k: int, pad_multiple: int = 1):
     through singly."""
 
     def gen():
-        from cvad_tpu.runtime.mesh import pad_to_multiple as _pad
+        from cvad_tpu.runtime.mesh import pad_with_valid as _pad
 
         pending = []
         shape = None
         for batch in loader:
-            batch, _ = _pad(batch, pad_multiple)
+            batch = _pad(batch, pad_multiple)
             s = batch["clips"].shape
             if shape is not None and s != shape and pending:
                 yield from pending  # shape changed: flush singles

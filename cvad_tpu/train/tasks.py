@@ -38,6 +38,13 @@ class Task:
         self.eval_step = eval_step
 
 
+def _masked_mean_1d(x: jnp.ndarray, valid: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean of a per-sample vector, excluding DP-padding rows."""
+    if valid is None:
+        return jnp.mean(x)
+    return jnp.sum(x * valid) / jnp.maximum(valid.sum(), 1.0)
+
+
 def prep_clips(clips: jnp.ndarray, clamp=(0.0, 1.0)) -> jnp.ndarray:
     """Device-side input normalization: uint8 batches (the low-bandwidth
     host->device transfer path, 4x fewer bytes) become [0,1] float32 on
@@ -97,6 +104,7 @@ def _family_d_task(cfg: ExperimentConfig) -> Task:
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
+        valid = batch.get("valid")  # DP remainder padding mask (or None)
         rng = jax.random.fold_in(rng, state.step)
         r_drop, r_pseudo = jax.random.split(rng)
         targets = pseudo_labels(r_pseudo, batch["clips"].shape[0],
@@ -106,7 +114,8 @@ def _family_d_task(cfg: ExperimentConfig) -> Task:
             scores, adj, feats = model.apply(
                 {"params": params}, batch["clips"], deterministic=False,
                 rngs={"dropout": r_drop})
-            total, comps = improved_loss(scores, adj, targets, loss_cfg)
+            total, comps = improved_loss(scores, adj, targets, loss_cfg,
+                                         valid=valid)
             return total, comps
 
         (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -142,13 +151,18 @@ def _family_c_task(cfg: ExperimentConfig) -> Task:
         batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         rng = jax.random.fold_in(rng, state.step)
 
+        valid = batch.get("valid")
+
         def loss_fn(params):
             scores, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["clips"], train=True, deterministic=False,
+                batch["clips"], train=True, deterministic=False, valid=valid,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
-            loss = jnp.mean(binary_cross_entropy(scores.reshape(-1),
-                                                 batch["labels"]))
+            # `valid` excludes DP-padding rows from both the BN batch
+            # statistics (MaskedBatchNorm) and the loss mean
+            loss = _masked_mean_1d(
+                binary_cross_entropy(scores.reshape(-1), batch["labels"]),
+                valid)
             return loss, mutated
 
         (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -160,7 +174,9 @@ def _family_c_task(cfg: ExperimentConfig) -> Task:
         scores = model.apply(state.variables(), batch["clips"],
                              train=False, deterministic=True)
         scores = scores.reshape(-1)
-        loss = jnp.mean(binary_cross_entropy(scores, batch["labels"]))
+        # per-sample loss vector: the engine trims DP-padding rows before
+        # averaging, so padded eval batches don't bias the reported loss
+        loss = binary_cross_entropy(scores, batch["labels"])
         return {"predictions": scores, "labels": batch["labels"], "loss": loss}
 
     return Task(model, tx, init_state, train_step, eval_step)
@@ -186,13 +202,15 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
         normal = (batch["labels"] == 0).astype(jnp.float32)  # (:374-378)
+        if "valid" in batch:  # DP padding rows: never train on or memorize
+            normal = normal * batch["valid"]
         n_normal = normal.sum()
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["clips"], state.extra, train=True,
-                mutable=["batch_stats"])
+                valid=batch.get("valid"), mutable=["batch_stats"])
             # per-sample recon error, averaged over normal samples only
             err = jnp.mean((jnp.clip(out["reconstructed"], 1e-8, 1 - 1e-8)
                             - batch["clips"]) ** 2, axis=(1, 2, 3, 4))
@@ -219,7 +237,7 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
                     + loss_cfg.b_score_memory * mem_score)  # (:552)
         return {"predictions": combined, "recon_errors": recon_err,
                 "memory_scores": mem_score, "labels": batch["labels"],
-                "loss": jnp.mean(recon_err)}
+                "loss": recon_err}  # per-sample; engine trims padding rows
 
     return Task(model, tx, init_state, train_step, eval_step)
 
@@ -289,8 +307,10 @@ def _family_a_task(cfg: ExperimentConfig) -> Task:
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["clips"], rng=r_vae, train=True, deterministic=False,
+                sample_valid=batch.get("valid"),
                 rngs={"dropout": r_drop}, mutable=["batch_stats"])
-            loss, comps = family_a_loss(out, batch["labels"], loss_cfg)
+            loss, comps = family_a_loss(out, batch["labels"], loss_cfg,
+                                        valid=batch.get("valid"))
             return loss, (mutated, comps)
 
         (loss, (mutated, comps)), grads = jax.value_and_grad(

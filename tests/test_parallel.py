@@ -93,6 +93,12 @@ def test_graft_entry_dryrun(cpu_devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+    # hermeticity (MULTICHIP_r01 failure mode): the dryrun must never create
+    # an array on a non-CPU backend, even when an accelerator plugin is
+    # registered — every live array it left behind must be CPU-resident
+    for arr in jax.live_arrays():
+        for d in arr.devices():
+            assert d.platform == "cpu", f"dryrun leaked array to {d}"
 
 
 def test_host_local_slice():
