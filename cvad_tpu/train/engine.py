@@ -130,6 +130,21 @@ class Trainer:
         return shard_batch(self.mesh, padded,
                            time_dim=getattr(self, "_time_dim", None))
 
+    def put_chunk(self, host_batches):
+        """Stack equal-shaped host batches into one (K, B, ...) device chunk
+        for the scanned multi-step call (`steps_per_call` > 1) — K train steps
+        per dispatch, amortizing the per-call latency K-fold."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cvad_tpu.runtime.mesh import pad_with_valid
+
+        nd = self.mesh.shape["data"]
+        padded = [pad_with_valid(b, nd) for b in host_batches]
+        stacked = {k: np.stack([np.asarray(p[k]) for p in padded])
+                   for k in padded[0]}
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+
     def restore(self, sample_batch: Dict[str, np.ndarray],
                 step="latest") -> Optional[int]:
         """Restore state + history + scheduler from a checkpoint for
