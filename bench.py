@@ -158,20 +158,31 @@ def measure_input_pipeline() -> float:
     if load_library() is None:
         log("input pipeline: native decoder unavailable")
         return float("nan")
-    with tempfile.TemporaryDirectory() as d:
-        write_synthetic_video_tree(d, splits=("bench",), videos_per_split=1,
-                                   frames_per_video=64, hw=(120, 160),
-                                   channels=1, fmt="pgm")
-        frames = scan_video_folders(f"{d}/bench")[0][1]
-        decode_clip(frames[:8], (64, 64), 3)  # warm
-        t0 = time.perf_counter()
-        n = 0
-        for _ in range(5):
-            decode_clip(frames, (64, 64), 3, nthreads=4)
-            n += len(frames)
-        dt = time.perf_counter() - t0
-    fps = n / dt
-    log(f"input pipeline (native decode+resize 160x120->64x64): {fps:.0f} frames/s")
+    fps = float("nan")
+    # pgm plus the real dataset formats: UCSD .tif, Avenue jpg
+    for fmt in ("pgm", "tif", "tif_lzw", "jpg"):
+        with tempfile.TemporaryDirectory() as d:
+            try:
+                write_synthetic_video_tree(d, splits=("bench",),
+                                           videos_per_split=1,
+                                           frames_per_video=64, hw=(120, 160),
+                                           channels=1, fmt=fmt)
+            except Exception as e:  # PIL missing etc.
+                log(f"input pipeline [{fmt}]: fixture unavailable ({e})")
+                continue
+            frames = scan_video_folders(f"{d}/bench")[0][1]
+            decode_clip(frames[:8], (64, 64), 3)  # warm
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(5):
+                decode_clip(frames, (64, 64), 3, nthreads=4)
+                n += len(frames)
+            dt = time.perf_counter() - t0
+        f = n / dt
+        if fmt == "pgm":
+            fps = f
+        log(f"input pipeline [{fmt}] (native decode+resize 160x120->64x64): "
+            f"{f:.0f} frames/s")
     return fps
 
 
@@ -187,9 +198,11 @@ def measure_end_to_end_epoch() -> float:
     from cvad_tpu.train.engine import Trainer
 
     with tempfile.TemporaryDirectory() as d:
+        # .tif frames: UCSD Ped2's actual on-disk format — the C++ decode core
+        # handles it natively (round 1 fell back to PIL here)
         write_synthetic_video_tree(d, splits=("Train",), videos_per_split=12,
                                    frames_per_video=128, hw=(64, 64),
-                                   channels=1, fmt="pgm")
+                                   channels=1, fmt="tif")
         cfg = preset("family_d")
         cfg = cfg.replace(
             data=cfg.data.replace(batch_size=BATCH, stride=4, channels=3,

@@ -70,9 +70,15 @@ class ClipDataset:
     def _decode_clip(self, paths: Sequence[str]) -> np.ndarray:
         cfg = self.cfg
         if cfg.decode_backend in ("auto", "native"):
-            from cvad_tpu.data.native_decoder import decode_clip
+            from cvad_tpu.data.native_decoder import (decode_clip,
+                                                      supported_suffixes)
 
-            if all(p.lower().endswith((".pgm", ".ppm", ".bmp")) for p in paths):
+            # the gate now covers the real dataset formats: UCSD Ped2 .tif
+            # (minicausal_vad_complete3.py:141-143) and Avenue jpg/png
+            # (avenue_training_script_bbox.py:391); native decode is
+            # bit-identical to PIL for all of them (tests/test_data.py)
+            suffixes = supported_suffixes()
+            if suffixes and all(p.lower().endswith(suffixes) for p in paths):
                 out = decode_clip(paths, cfg.frame_size, cfg.channels,
                                   cfg.num_decode_threads)
                 if out is not None:

@@ -42,7 +42,26 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.cvad_decode_clip.restype = ctypes.c_int
+    lib.cvad_codecs.argtypes = []
+    lib.cvad_codecs.restype = ctypes.c_int
     return lib
+
+
+def supported_suffixes() -> tuple:
+    """File extensions the loaded native core can decode.  PNM/BMP/TIFF are
+    built in (the TIFF reader is hand-rolled: none/LZW/PackBits strips, both
+    endians); JPEG/PNG depend on the system codec headers at build time
+    (`cvad_codecs` bitmask: 1=JPEG, 2=PNG)."""
+    lib = load_library()
+    if lib is None:
+        return ()
+    suffixes = [".pgm", ".ppm", ".bmp", ".tif", ".tiff"]
+    mask = lib.cvad_codecs()
+    if mask & 1:
+        suffixes += [".jpg", ".jpeg"]
+    if mask & 2:
+        suffixes += [".png"]
+    return tuple(suffixes)
 
 
 def decode_file(lib: ctypes.CDLL, path: str,

@@ -90,6 +90,16 @@ def write_synthetic_video_tree(root: str, splits=("Train", "Test"),
                 elif fmt == "ppm":
                     rgb = (np.repeat(frame8, 3, -1) if channels == 1 else frame8)
                     _write_ppm(path, rgb[..., :3])
+                elif fmt in ("tif", "tiff", "tif_lzw", "jpg", "png"):
+                    # real-dataset formats (UCSD .tif / Avenue jpg+png),
+                    # written via PIL like the original datasets were
+                    from PIL import Image
+
+                    arr = frame8[..., 0] if channels == 1 else frame8
+                    kw = {"compression": "tiff_lzw"} if fmt == "tif_lzw" else {}
+                    ext = "tif" if fmt == "tif_lzw" else fmt
+                    Image.fromarray(arr).save(
+                        str(path)[: -len(fmt)] + ext, **kw)
                 else:
                     raise ValueError(f"unsupported fixture format {fmt!r}")
     return str(rootp)
