@@ -167,20 +167,23 @@ class MiniCausalVAD:
     # -- reference API -------------------------------------------------------
 
     def train_epoch(self, dataloader: Iterable) -> Tuple[float, Dict[str, float]]:
-        totals: Dict[str, float] = {}
+        # metrics accumulate ON DEVICE; one host fetch per epoch.  A per-batch
+        # jax.device_get costs a ~30ms D2H round trip through the relay, which
+        # made the compat drivers 10x+ slower than the Trainer for no reason.
+        acc: Optional[Dict[str, jnp.ndarray]] = None
         count = 0
-        loss_sum = 0.0
         for item in dataloader:
             batch = _to_framework_batch(item)
             self._ensure_state(batch)
             self._state, metrics = self._train_fn(self._state, batch, self._key)
-            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            loss_sum += host.pop("loss", 0.0)
-            for k, v in host.items():
-                totals[k] = totals.get(k, 0.0) + v
+            acc = metrics if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, metrics)
             count += 1
         n = max(count, 1)
-        return loss_sum / n, {k: v / n for k, v in totals.items()}
+        host = ({k: float(v) for k, v in jax.device_get(acc).items()}
+                if acc is not None else {})
+        loss_sum = host.pop("loss", 0.0)
+        return loss_sum / n, {k: v / n for k, v in host.items()}
 
     def evaluate(self, dataloader: Iterable):
         preds: List[np.ndarray] = []

@@ -87,6 +87,38 @@ def format_sample_table(scores: np.ndarray, labels: np.ndarray,
     return "\n".join(lines)
 
 
+def family_a_test_analysis(scores: np.ndarray, labels: np.ndarray,
+                           direct_predictions: np.ndarray,
+                           threshold: float = 0.5,
+                           max_rows: int = 10) -> Dict[str, object]:
+    """The reference family-A ``test_model`` detailed analysis
+    (``causal_anomaly_detection.py:796-835``): prediction counts via BOTH
+    methods (blended anomaly score > 0.5 vs argmax of the direct softmax
+    head) plus the first-N per-sample rows, returned as a dict instead of
+    prints."""
+    scores = np.asarray(scores).reshape(-1)
+    labels = np.asarray(labels).reshape(-1).astype(int)
+    direct = np.asarray(direct_predictions).reshape(len(scores), -1)
+    anomaly_pred = (scores > threshold).astype(int)
+    class_pred = np.argmax(direct, axis=1)
+    return {
+        "total_samples": int(len(labels)),
+        "true_normal": int((labels == 0).sum()),
+        "true_abnormal": int((labels == 1).sum()),
+        "score_pred_normal": int((anomaly_pred == 0).sum()),
+        "score_pred_abnormal": int((anomaly_pred == 1).sum()),
+        "class_pred_normal": int((class_pred == 0).sum()),
+        "class_pred_abnormal": int((class_pred == 1).sum()),
+        "samples": [
+            {"index": i + 1, "true": int(labels[i]),
+             "score": float(scores[i]),
+             "anomaly_pred": int(anomaly_pred[i]),
+             "class_pred": int(class_pred[i])}
+            for i in range(min(max_rows, len(labels)))
+        ],
+    }
+
+
 def score_separation(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
     """Normal/abnormal score separation report
     (``causal_anomaly_detection1.py:486-503``)."""

@@ -95,9 +95,9 @@ class MaskedPedestrianDetector(nn.Module):
     def __call__(self, features: jnp.ndarray, *, deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         k = self.cfg.max_boxes
-        h = MLP((512, 256, 128, 64), final_activation="relu", dropout=0.3,
-                dropout_after=(0, 1), name="detector_net")(
-                    features, deterministic=deterministic)
+        h = MLP((512, 256, 128, 64), final_activation="relu",
+                dropout_after=(0, 1), dropout_rates=(0.3, 0.2),
+                name="detector_net")(features, deterministic=deterministic)
         bias = jnp.asarray(self._BIAS, jnp.float32)
         if k * 4 != len(self._BIAS):  # non-default K: tile/trim the pattern
             bias = jnp.resize(bias, (k * 4,))
@@ -356,7 +356,7 @@ class CausalPipelineDetector(nn.Module):
         if cfg.direct_variant:
             pooled = feats.mean(axis=1)
             direct = MLP((512, 256, 128, 64, 2), final_activation="softmax",
-                         dropout=0.3, dropout_after=(0, 1),
+                         dropout_after=(0, 1), dropout_rates=(0.3, 0.2),
                          name="direct_classifier")(
                              pooled, deterministic=deterministic)
             w0, w1 = cfg.score_blend

@@ -145,16 +145,23 @@ class MLP(nn.Module):
     final_activation: str | None = None  # None | 'sigmoid' | 'softmax' | 'tanh' | 'relu'
     dropout: float = 0.0
     dropout_after: Tuple[int, ...] = ()  # layer indices followed by dropout
+    # optional per-position rates aligned with dropout_after (the reference
+    # heads mix rates, e.g. Dropout(0.3) then Dropout(0.2) in
+    # causal_anomaly_detection.py:166-175); falls back to `dropout`
+    dropout_rates: Tuple[float, ...] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         n = len(self.features)
+        rate = {idx: (self.dropout_rates[j] if self.dropout_rates is not None
+                      else self.dropout)
+                for j, idx in enumerate(self.dropout_after)}
         for i, f in enumerate(self.features):
             x = nn.Dense(f, name=f"dense_{i}")(x)
             if i < n - 1:
                 x = nn.relu(x)
-            if i in self.dropout_after and self.dropout > 0:
-                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            if rate.get(i, 0.0) > 0:
+                x = nn.Dropout(rate[i], deterministic=deterministic)(x)
         if self.final_activation == "sigmoid":
             x = nn.sigmoid(x)
         elif self.final_activation == "softmax":

@@ -260,6 +260,113 @@ def import_torch_family_c(path: str):
         np.asarray, {"params": params, "batch_stats": stats})
 
 
+def import_torch_family_a(src) -> Dict[str, Any]:
+    """Reference ``CausalAnomalyDetector`` (``causal_anomaly_detection.py:508-538``)
+    state dict -> framework variables for
+    :class:`cvad_tpu.models.CausalPipelineDetector`.
+
+    `src` is a .pth path or an already-loaded ``{key: ndarray}`` state dict.
+    Returns ``{'params', 'batch_stats'}``.  GRU gates split from torch's fused
+    (3H, ·) [r, z, n] rows into flax's per-gate denses: flax's single ir/iz
+    bias = torch ``b_ih + b_hh`` for the r/z gates (torch adds both before the
+    sigmoid), while the n gate keeps them separate (``in`` = b_ih[n], ``hn`` =
+    b_hh[n], applied inside the reset-gated term), matching torch's GRU cell
+    equations exactly.
+    """
+    sd = dict(src) if isinstance(src, Mapping) else load_torch_state_dict(src)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def dense(tkey: str) -> Dict[str, np.ndarray]:
+        return {"kernel": _dense_kernel(sd[f"{tkey}.weight"]),
+                "bias": sd[f"{tkey}.bias"]}
+
+    def put(tree: Dict, path: str, leaf) -> None:
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    # backbone: conv1/bn1 + 4 stages of [Conv,BN,ReLU,Conv,BN,ReLU]
+    bb = params.setdefault("backbone", {})
+    bb["conv1"] = {"kernel": _conv2d_kernel(sd["backbone.conv1.weight"]),
+                   "bias": sd["backbone.conv1.bias"]}
+    bns = [("backbone.bn1", "bn1")]
+    for layer in range(1, 5):
+        for t_idx, suffix in ((0, "conv0"), (3, "conv1")):
+            bb[f"layer{layer}_{suffix}"] = {
+                "kernel": _conv2d_kernel(sd[f"backbone.layer{layer}.{t_idx}.weight"]),
+                "bias": sd[f"backbone.layer{layer}.{t_idx}.bias"]}
+        bns += [(f"backbone.layer{layer}.1", f"layer{layer}_bn0"),
+                (f"backbone.layer{layer}.4", f"layer{layer}_bn1")]
+    for tkey, fname in bns:
+        bb[fname] = {"scale": sd[f"{tkey}.weight"], "bias": sd[f"{tkey}.bias"]}
+        stats.setdefault("backbone", {})[fname] = {
+            "mean": sd[f"{tkey}.running_mean"],
+            "var": sd[f"{tkey}.running_var"]}
+
+    # detector MLP (Sequential idx 0,3,6,8 -> dense_0..3; 10 -> detector_out)
+    for i, t_idx in enumerate((0, 3, 6, 8)):
+        put(params, f"detector/detector_net/dense_{i}",
+            dense(f"detector.detector_net.{t_idx}"))
+    put(params, "detector/detector_out", dense("detector.detector_net.10"))
+
+    for i in (0, 2, 4):
+        put(params, f"tracker/reid_{i}", dense(f"tracker.reid_net.{i}"))
+
+    # GRU: torch fused (3H, ·) rows [r, z, n] -> flax per-gate denses
+    w_ih = sd["traj_encoder.gru.weight_ih_l0"]
+    w_hh = sd["traj_encoder.gru.weight_hh_l0"]
+    b_ih = sd["traj_encoder.gru.bias_ih_l0"]
+    b_hh = sd["traj_encoder.gru.bias_hh_l0"]
+    h = w_hh.shape[1]
+    for gi, gate in enumerate(("r", "z", "n")):
+        sl = slice(gi * h, (gi + 1) * h)
+        iname = "in" if gate == "n" else f"i{gate}"
+        ib = b_ih[sl] if gate == "n" else b_ih[sl] + b_hh[sl]
+        put(params, f"traj_encoder/GRUCell_0/{iname}",
+            {"kernel": np.transpose(w_ih[sl], (1, 0)), "bias": ib})
+        hleaf = {"kernel": np.transpose(w_hh[sl], (1, 0))}
+        if gate == "n":
+            hleaf["bias"] = b_hh[sl]
+        put(params, f"traj_encoder/GRUCell_0/h{gate}", hleaf)
+    put(params, "traj_encoder/encoder", dense("traj_encoder.encoder"))
+
+    for t_idx, name in ((0, "enc_0"), (2, "enc_2")):
+        put(params, f"causal_extractor/{name}",
+            dense(f"causal_extractor.encoder.{t_idx}"))
+    put(params, "causal_extractor/mu_head", dense("causal_extractor.mu_head"))
+    put(params, "causal_extractor/logvar_head",
+        dense("causal_extractor.logvar_head"))
+
+    put(params, "structure_learner/node_encoder",
+        dense("structure_learner.node_encoder"))
+    for t_idx, name in ((0, "edge_0"), (2, "edge_2")):
+        put(params, f"structure_learner/{name}",
+            dense(f"structure_learner.edge_predictor.{t_idx}"))
+    put(params, "structure_learner/structure_params",
+        sd["structure_learner.structure_params"])
+
+    for t_idx, name in ((0, "dyn_0"), (2, "dyn_2"), (4, "dyn_4")):
+        put(params, f"dynamics_predictor/{name}",
+            dense(f"dynamics_predictor.dynamics_net.{t_idx}"))
+
+    for head, idxs in (("causal_scorer", (0, 3, 5)),
+                       ("motion_scorer", (0, 2, 4)),
+                       ("temporal_scorer", (0, 2, 4))):
+        for i, t_idx in enumerate(idxs):
+            put(params, f"anomaly_scorer/{head}/dense_{i}",
+                dense(f"anomaly_scorer.{head}.{t_idx}"))
+
+    for i, t_idx in enumerate((0, 3, 6, 8, 10)):
+        put(params, f"direct_classifier/dense_{i}",
+            dense(f"direct_classifier.{t_idx}"))
+
+    return jax.tree_util.tree_map(
+        np.asarray, {"params": params, "batch_stats": stats})
+
+
 def import_torch_generic(path: str, params_template: Mapping[str, Any],
                          rename: Optional[Mapping[str, str]] = None
                          ) -> Dict[str, Any]:

@@ -289,9 +289,19 @@ class Trainer:
             return {**m, "predictions": out["predictions"],
                     "labels": out["labels"]}
         if isinstance(model_cfg, FamilyAConfig):
+            from cvad_tpu.evaluation.metrics import family_a_test_analysis
+
             m = binary_metrics(out["predictions"], out["labels"])
             m["val_acc"] = m["accuracy"]
-            return {**m, "predictions": out["predictions"],
+            # reference test_model's detailed surface (:796-835): per-sample
+            # rows + prediction counts via both scoring methods, plus the
+            # direct/causal blend pieces the blended score was built from
+            analysis = family_a_test_analysis(
+                out["predictions"], out["labels"], out["direct_predictions"])
+            return {**m, "analysis": analysis,
+                    "predictions": out["predictions"],
+                    "causal_scores": out["causal_scores"],
+                    "direct_predictions": out["direct_predictions"],
                     "labels": out["labels"]}
         raise KeyError(type(model_cfg).__name__)
 

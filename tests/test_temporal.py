@@ -82,6 +82,46 @@ def test_sharded_gradients_match_unsharded(cpu_devices):
                                    rtol=2e-3, atol=1e-5)
 
 
+def test_trainer_long_window_t64(cpu_devices, tmp_path):
+    """The north-star long-window config: N train steps at T=64 on a
+    (2 data x 4 time) mesh — each device holds only 16 of the 64 frames —
+    with per-epoch loss equal to the unsharded (1x1 mesh) steps.  This is
+    the temporal-scaling capability the reference lacks entirely (it only
+    ever slides 8/16-frame windows on the host,
+    ``causal_anomaly_detection.py:57``)."""
+    from cvad_tpu.config import preset
+    from cvad_tpu.train.engine import Trainer
+
+    cfg = preset("family_d")
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=4, frame_size=(16, 16), clip_len=64),
+        train=cfg.train.replace(num_epochs=1, eval_every=1, save_interval=0,
+                                log_every=10**9, out_dir=str(tmp_path)))
+    rng = np.random.default_rng(1)
+    batches = [{"clips": rng.uniform(0, 1, (4, 64, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(4, np.float32)} for _ in range(3)]
+
+    results = {}
+    for name, (d, t) in (("unsharded", (1, 1)), ("dp_x_sp", (2, 4))):
+        mesh = create_mesh(data_axis=d, temporal_axis=t,
+                           devices=cpu_devices[:d * t])
+        tr = Trainer(cfg.replace(train=cfg.train.replace(
+            out_dir=str(tmp_path / name))), mesh=mesh)
+        tr.init_state(batches[0])
+        avg = tr.train_epoch(batches, epoch=1)
+        results[name] = (avg["loss"], jax.device_get(tr.state.params))
+
+    assert np.isfinite(results["unsharded"][0])
+    np.testing.assert_allclose(results["dp_x_sp"][0], results["unsharded"][0],
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(results["unsharded"][1]),
+                    jax.tree_util.tree_leaves(results["dp_x_sp"][1])):
+        # atol 1e-5: Adam's sqrt(v) normalization amplifies f32
+        # accumulation-order noise on near-zero gradient entries
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_trainer_with_time_axis_matches_data_only(cpu_devices, tmp_path):
     """End-to-end training on a (2 data x 4 time) mesh equals a (2 data)
     mesh: GSPMD's automatic temporal partitioning does not change numerics."""
