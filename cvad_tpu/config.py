@@ -117,6 +117,25 @@ class FamilyDConfig(_Base):
     # computation dtype ('float32' | 'bfloat16'); params stay float32 — the
     # TPU analog of the reference's CUDA AMP (no loss scaling needed on TPU)
     dtype: str = "float32"
+    # conv1 lowering — mathematically exact relowerings of the same conv
+    # (same parameter tree; tests/test_models.py::test_conv1_mode_exact):
+    #   'native' plain lax conv: im2col matmul (M,81)x(81,16), 7.9% of an
+    #            MXU tile (traced at 12 TF/s fwd / 8 TF/s wgrad)
+    #   'tfold'  T axis folded into channels, ONE 2-D conv with matmul
+    #            (M,270)x(270,128) — full lane occupancy; cuts the traced
+    #            B=256 bf16 step 2170 -> 1563 us (conv1 matmuls 1086 -> 268)
+    #   'tfold_pallas' the folded conv1 as a fused Pallas kernel
+    #   'tpair'/'s2d'/'cpad' earlier probe lowerings, kept for comparison
+    # 'auto' = 'tfold' on accelerators, 'native' on CPU (the fold trades
+    # 10/3 the MACs for MXU tile occupancy — a win only where tiles exist)
+    conv1_mode: str = "auto"
+    # conv-stack layout: 'ndhwc' runs convs 2-3 on (B,T,H,W,C) tensors;
+    # 'folded' chains them on conv1's T-folded (B,H,W,T,C) output via custom
+    # dimension_numbers — no unfold/refold between conv1 and conv2 (same
+    # math/params; tests/test_models.py::test_folded_stack_exact).  Traced
+    # B=256 bf16 step: native 2170 us -> tfold 1563 -> folded 1361 (~1.6x).
+    # 'auto' = 'folded' on accelerators, 'ndhwc' on CPU.
+    conv_stack: str = "auto"
 
 
 @dataclass(frozen=True)

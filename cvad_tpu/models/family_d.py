@@ -26,6 +26,31 @@ from cvad_tpu.config import FamilyDConfig
 from cvad_tpu.models.layers import Conv3dTorch, adaptive_avg_pool3d
 
 
+def _resolve_lowering(cfg) -> tuple:
+    """Resolve 'auto' conv lowerings by target backend at trace time.
+
+    The T-folded lowerings trade 10/3 the MACs for full MXU tile occupancy
+    (PARITY.md hot-op table) — a win on accelerators with 128x128 tiles,
+    a pure slowdown on CPU, so 'auto' picks per platform.  CVAD_PLATFORM=cpu
+    (the repo-wide CPU pin used by tests/dryrun) counts as CPU even when an
+    accelerator plugin is registered.
+    """
+    import os
+
+    import jax
+
+    stack = getattr(cfg, "conv_stack", "auto")
+    conv1 = getattr(cfg, "conv1_mode", "auto")
+    if "auto" in (stack, conv1):
+        on_cpu = (os.environ.get("CVAD_PLATFORM") == "cpu"
+                  or jax.default_backend() == "cpu")
+        if stack == "auto":
+            stack = "ndhwc" if on_cpu else "folded"
+        if conv1 == "auto":
+            conv1 = "native" if on_cpu else "tfold"
+    return stack, conv1
+
+
 class CompactFeatureExtractor(nn.Module):
     """3D CNN clip encoder -> `causal_dim` features.
 
@@ -41,12 +66,31 @@ class CompactFeatureExtractor(nn.Module):
         dtype = jnp.dtype(self.cfg.dtype)
         x = x.astype(dtype)
         c1, c2, c3 = self.cfg.conv_channels
-        x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
-                                name="conv3d_1")(x))
-        x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
-                                name="conv3d_2")(x))
-        x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), dtype=dtype,
-                                name="conv3d_3")(x))
+        stack, conv1_mode = _resolve_lowering(self.cfg)
+        folded = (stack == "folded"
+                  and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+        if folded:
+            # transpose-free stack: conv1 T-folds into ONE well-shaped 2-D
+            # conv (models/layers.py::_TFoldConv) and convs 2-3 consume the
+            # resulting (B, H, W, T, C) layout directly via custom
+            # dimension_numbers; the only layout op left is the tiny final
+            # transpose before the pool.  Exact same math/params as the
+            # ndhwc stack (tests/test_models.py::test_folded_stack_exact).
+            x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
+                                    mode="tfold", unfold=False,
+                                    name="conv3d_1")(x))
+            x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
+                                    layout="hwtc", name="conv3d_2")(x))
+            x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), dtype=dtype,
+                                    layout="hwtc", name="conv3d_3")(x))
+            x = jnp.transpose(x, (0, 3, 1, 2, 4))
+        else:
+            x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
+                                    mode=conv1_mode, name="conv3d_1")(x))
+            x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
+                                    name="conv3d_2")(x))
+            x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), dtype=dtype,
+                                    name="conv3d_3")(x))
         x = adaptive_avg_pool3d(x, self.cfg.pool_out)
         # channel-major flatten to match torch's view(B, C*T*H*W)
         x = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(x.shape[0], -1)

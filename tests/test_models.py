@@ -143,3 +143,95 @@ def test_registry_builds_all():
                 FamilyCConfig(), FamilyDConfig(), FamilyEConfig()):
         m = build_model(cfg)
         assert m is not None
+
+
+@pytest.mark.parametrize("mode", ["tfold", "tpair", "s2d", "cpad"])
+def test_conv1_mode_exact(rng, mode):
+    """Every conv1 relowering is the same function as the native conv: same
+    parameter tree, same forward, same gradients (up to f32 accumulation
+    order).  These modes exist purely to repack conv1's degenerate im2col
+    matmul (K=81, N=16) onto fuller MXU tiles — see models/layers.py."""
+    from cvad_tpu.models.layers import Conv3dTorch
+
+    x = _clips((2, 8, 16, 16, 3), seed=3)
+    native = Conv3dTorch(16, stride=(1, 2, 2), mode="native")
+    other = Conv3dTorch(16, stride=(1, 2, 2), mode=mode)
+    params = native.init(rng, x)
+    y0 = native.apply(params, x)
+    y1 = other.apply(params, x)  # identical tree -> params interchange
+    assert y1.shape == y0.shape == (2, 8, 8, 8, 16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-6, atol=2e-6)
+
+    def loss(fn, p):
+        return (fn.apply(p, x) ** 2).sum()
+
+    g0 = jax.grad(lambda p: loss(native, p))(params)
+    g1 = jax.grad(lambda p: loss(other, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_conv1_mode_integer_bitexact(rng):
+    """On small-integer inputs (where every partial sum is exactly
+    representable) the relowerings are bit-identical to native — the zero
+    blocks in the packed kernels are structural, not approximate."""
+    from cvad_tpu.models.layers import Conv3dTorch
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.integers(0, 4, (1, 8, 16, 16, 3)), jnp.float32)
+    native = Conv3dTorch(16, stride=(1, 2, 2), mode="native")
+    params = native.init(rng, x)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(r.integers(-3, 4, p.shape), jnp.float32), params)
+    y0 = np.asarray(native.apply(params, x))
+    for mode in ("tfold", "tpair", "s2d", "cpad"):
+        y1 = np.asarray(Conv3dTorch(16, stride=(1, 2, 2), mode=mode)
+                        .apply(params, x))
+        np.testing.assert_array_equal(y1, y0, err_msg=mode)
+
+
+def test_family_d_param_count_all_conv1_modes(rng):
+    """conv1 relowerings must not change the parameter tree: the flagship
+    188,849 count (avenue_training_script2.py best_improved_model.pth) holds
+    for every mode, and torch checkpoint import stays valid."""
+    x = _clips((1, 8, 64, 64, 3))
+    for mode in ("native", "tfold", "tpair"):
+        m = CausalAnomalyDetector(FamilyDConfig(conv1_mode=mode))
+        v = m.init(rng, x)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v))
+        assert n == 188_849, (mode, n)
+
+
+def test_folded_stack_exact(rng):
+    """conv_stack='folded' (transpose-free T-folded conv chain) is the same
+    function as the default stack: same params, same outputs, same grads."""
+    x = _clips((2, 8, 64, 64, 3), seed=5)
+    m0 = CausalAnomalyDetector(FamilyDConfig(conv_stack="ndhwc",
+                                             conv1_mode="native"))
+    m1 = CausalAnomalyDetector(FamilyDConfig(conv_stack="folded"))
+    v = m0.init(rng, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(rng, x))
+    s0, adj0, f0 = m0.apply(v, x)
+    s1, adj1, f1 = m1.apply(v, x)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(adj1), np.asarray(adj0),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(m, p):
+        s, adj, feats = m.apply(p, x)
+        return s.sum() + (adj * adj).sum() + jnp.abs(feats).sum()
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v)
+    g1 = jax.grad(lambda p: loss(m1, p))(v)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert k0 == k1
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(k0))
