@@ -117,33 +117,88 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3,
 
 
 def measure_inference() -> float:
-    """Eval forward throughput in frames/sec (BASELINE.json inference metric)."""
-    import jax
-    import jax.numpy as jnp
+    """Eval forward throughput in frames/sec (BASELINE.json inference metric).
 
+    Uses the production throughput scorer (`make_family_d_bulk_score_fn`):
+    bf16 compute, uint8 ingest with on-device normalization, K stacked
+    batches per dispatch — the serving-burst configuration."""
+    import jax
+
+    from cvad_tpu.config import FamilyDConfig
+    from cvad_tpu.evaluation.scoring import make_family_d_bulk_score_fn
     from cvad_tpu.models import CausalAnomalyDetector
 
-    model = CausalAnomalyDetector()
-    clips = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (BATCH,) + CLIP_SHAPE),
-        jnp.float32)
-    variables = jax.jit(model.init)(jax.random.key(0), clips)
+    model = CausalAnomalyDetector(FamilyDConfig(dtype="bfloat16"))
+    rng = np.random.default_rng(0)
+    k = STEPS_PER_CALL
+    clips = rng.integers(0, 256, (k * BATCH,) + CLIP_SHAPE, dtype=np.uint8)
+    variables = model.init(jax.random.key(0),
+                           (clips[:1] / 255.0).astype(np.float32))
+    import jax.numpy as jnp
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, deterministic=True)[0].sum())
-    for _ in range(WARMUP):
-        fwd(variables, clips)
-    np.asarray(fwd(variables, clips))  # hard sync
+    score = make_family_d_bulk_score_fn(variables, model=model, batch=BATCH,
+                                        chunks_per_call=k)
+    # stage the chunk on device once, like the train bench: the dev tunnel's
+    # host->device path runs ~20-30 MB/s (measured), which would make the
+    # number an artifact of this environment rather than the scorer
+    stacked = jnp.asarray(clips.reshape((k, BATCH) + CLIP_SHAPE))
+    s, _ = score.fwd_many(variables, stacked)
+    np.asarray(s)  # compile + hard sync
     best = 0.0
+    iters = max(4, ITERS // k)
     for _ in range(3):
         t0 = time.perf_counter()
         total = None
-        for _ in range(ITERS):
-            out = fwd(variables, clips)
-            total = out if total is None else total + out
+        for _ in range(iters):
+            s, _ = score.fwd_many(variables, stacked)
+            total = s.sum() if total is None else total + s.sum()
         np.asarray(total)  # data-dependent sync
-        best = max(best, BATCH * CLIP_SHAPE[0] * ITERS
+        best = max(best, k * BATCH * CLIP_SHAPE[0] * iters
                    / (time.perf_counter() - t0))
-    log(f"inference: {best:.0f} frames/s ({best / CLIP_SHAPE[0]:.0f} clips/s)")
+    log(f"inference (bulk scorer, bf16, device-staged uint8): {best:.0f} "
+        f"frames/s ({best / CLIP_SHAPE[0]:.0f} clips/s)")
+    return best
+
+
+def measure_long_window(t_len: int = 64, batch: int = 32) -> float:
+    """Long-temporal-window training throughput (T=64 clips, the north-star
+    'larger temporal windows' config; tests/test_temporal.py proves the
+    2x4 dp-x-sp sharded step equals this unsharded one).  Reported as
+    frames/s so it is comparable with the T=8 headline."""
+    from cvad_tpu.config import preset
+    from cvad_tpu.runtime.mesh import create_mesh
+    from cvad_tpu.train.engine import Trainer
+
+    k = STEPS_PER_CALL
+    cfg = preset("family_d")
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=batch, clip_len=t_len),
+        train=cfg.train.replace(out_dir="/tmp/cvad_bench_t64",
+                                log_every=10**9, dtype="bfloat16",
+                                steps_per_call=k))
+    trainer = Trainer(cfg, mesh=create_mesh())
+    rng = np.random.default_rng(0)
+    b = {"clips": rng.integers(0, 256, (batch, t_len) + CLIP_SHAPE[1:],
+                               dtype=np.uint8),
+         "labels": np.zeros(batch, np.float32)}
+    trainer.init_state(b)
+    chunk = trainer.put_chunk([b] * k)
+    step = lambda: trainer._jit_train_multi(trainer.state, chunk, trainer._rng)
+    for _ in range(WARMUP):
+        trainer.state, m = step()
+    np.asarray(m)
+    best = 0.0
+    iters = max(4, ITERS // k)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = None
+        for _ in range(iters):
+            trainer.state, m = step()
+            total = m if total is None else total + m
+        np.asarray(total)
+        best = max(best, k * batch * iters / (time.perf_counter() - t0))
+    log(f"long-window train step (T={t_len}, batch {batch}, bf16): "
+        f"{best:.0f} clips/s = {best * t_len:.0f} frames/s")
     return best
 
 
@@ -292,6 +347,7 @@ def main() -> None:
     try:
         measure_framework("bfloat16", reps=1, steps_per_call=1)  # per-dispatch
         measure_framework("float32", reps=1)
+        measure_long_window()
         measure_inference()
         measure_input_pipeline()
         measure_end_to_end_epoch()

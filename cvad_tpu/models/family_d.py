@@ -67,8 +67,14 @@ class CompactFeatureExtractor(nn.Module):
         x = x.astype(dtype)
         c1, c2, c3 = self.cfg.conv_channels
         stack, conv1_mode = _resolve_lowering(self.cfg)
+        from cvad_tpu.models.layers import _useful_fold
+
         folded = (stack == "folded"
-                  and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+                  and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+                  # whole-T fold at T=8; group-wise fold (windows of g=8)
+                  # for long T (see layers._TFoldConv) — inflation pinned
+                  # at (g+2)/3 either way
+                  and _useful_fold(x.shape[1], c1))
         if folded:
             # transpose-free stack: conv1 T-folds into ONE well-shaped 2-D
             # conv (models/layers.py::_TFoldConv) and convs 2-3 consume the

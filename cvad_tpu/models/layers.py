@@ -100,8 +100,8 @@ class _TFoldConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from cvad_tpu.ops.pallas_conv import (fold_input, fold_kernel,
-                                              tfold_conv1_matmul)
+        from cvad_tpu.ops.pallas_conv import (fold_group_size, fold_input,
+                                              fold_kernel, tfold_conv1_matmul)
 
         cin, cout = x.shape[-1], self.features
         b, t, h, w, _ = x.shape
@@ -110,13 +110,30 @@ class _TFoldConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (cout,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        xf = fold_input(x)
-        wd = fold_kernel(kernel, t)
+        g = fold_group_size(t, cout)
+        wd = fold_kernel(kernel, g)
+        if g == t:
+            xf = fold_input(x)
+            y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas)
+            y = y.reshape(b, h // 2, w // 2, t, cout)
+            if not self.unfold:
+                return y + bias
+            return jnp.transpose(y, (0, 3, 1, 2, 4)) + bias
+        # long windows: fold T group-wise (windows of g+2 overlapping taps)
+        # so the MAC inflation stays (g+2)/3 instead of growing with T
+        n = t // g
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        wins = jnp.stack([jax.lax.slice_in_dim(xp, i * g, i * g + g + 2,
+                                               axis=1) for i in range(n)], 1)
+        xf = jnp.transpose(wins, (0, 1, 3, 4, 2, 5)).reshape(
+            b * n, h + 2, w + 2, (g + 2) * cin)
         y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas)
-        y = y.reshape(b, h // 2, w // 2, t, cout)
+        y = y.reshape(b, n, h // 2, w // 2, g, cout)
         if not self.unfold:
-            return y + bias
-        return jnp.transpose(y, (0, 3, 1, 2, 4)) + bias
+            y = jnp.transpose(y, (0, 2, 3, 1, 4, 5))  # (b,h',w',n,g,c)
+            return y.reshape(b, h // 2, w // 2, t, cout) + bias
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5))      # (b,n,g,h',w',c)
+        return y.reshape(b, t, h // 2, w // 2, cout) + bias
 
 
 class _S2DConv(nn.Module):
@@ -190,6 +207,12 @@ class _CPadConv(nn.Module):
                                          dimension_numbers=dn,
                                          preferred_element_type=x.dtype)
         return y + bias
+
+
+def _useful_fold(t: int, cout: int) -> bool:
+    from cvad_tpu.ops.pallas_conv import fold_group_size
+
+    return fold_group_size(t, cout) >= 2
 
 
 class _HWTCConv(nn.Module):
@@ -276,7 +299,10 @@ class Conv3dTorch(nn.Module):
                 and self.kernel == (3, 3, 3)
                 and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
                 and self.use_bias and x.shape[2] % 2 == 0
-                and x.shape[3] % 2 == 0):
+                and x.shape[3] % 2 == 0
+                # needs a useful T-group: whole-T when T*Cout fits the MXU's
+                # 128 lanes, else group-wise windows (see _TFoldConv)
+                and _useful_fold(x.shape[1], self.features)):
             return _TFoldConv(self.features, dtype=self.dtype,
                               kernel_init=self.kernel_init,
                               unfold=self.unfold,

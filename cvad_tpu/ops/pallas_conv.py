@@ -32,6 +32,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def fold_group_size(t: int, cout: int) -> int:
+    """Largest T-group size g (dividing t) whose folded outputs g*cout still
+    fit the MXU's 128 lanes.  Whole-T folding (g == t) has MAC inflation
+    (t+2)/3, which grows unboundedly with t; group-wise folding pins it at
+    (g+2)/3 while keeping full lane occupancy.  Returns 1 when no useful
+    fold exists (callers fall back to the native conv)."""
+    best = 1
+    for g in range(1, t + 1):
+        if t % g == 0 and g * cout <= 128:
+            best = g
+    return best
+
+
 def fold_input(x: jnp.ndarray) -> jnp.ndarray:
     """(B, T, H, W, C) -> folded, spatially padded (B, H+2, W+2, (T+2)*C).
 

@@ -235,3 +235,53 @@ def test_folded_stack_exact(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(k0))
+
+
+def test_tfold_grouped_long_window_exact(rng):
+    """Long-window T-fold: T=16 with cout=16 exceeds the 128-lane budget,
+    so the fold runs group-wise (windows of g=8 with 2-tap halos) — must be
+    the same function as native, in both unfold and folded-output layouts."""
+    from cvad_tpu.models.layers import Conv3dTorch
+    from cvad_tpu.ops.pallas_conv import fold_group_size
+
+    assert fold_group_size(16, 16) == 8
+    assert fold_group_size(8, 16) == 8
+    assert fold_group_size(64, 16) == 8
+
+    x = _clips((2, 16, 16, 16, 3), seed=7)
+    native = Conv3dTorch(16, stride=(1, 2, 2), mode="native")
+    tfold = Conv3dTorch(16, stride=(1, 2, 2), mode="tfold")
+    params = native.init(rng, x)
+    y0 = native.apply(params, x)
+    y1 = tfold.apply(params, x)
+    assert y1.shape == y0.shape == (2, 16, 8, 8, 16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-6, atol=2e-6)
+    # folded-output layout path
+    y2 = Conv3dTorch(16, stride=(1, 2, 2), mode="tfold",
+                     unfold=False).apply(params, x)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(y2, (0, 3, 1, 2, 4))),
+                               np.asarray(y0), rtol=2e-6, atol=2e-6)
+
+    g0 = jax.grad(lambda p: (native.apply(p, x) ** 2).sum())(params)
+    g1 = jax.grad(lambda p: (tfold.apply(p, x) ** 2).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_family_d_folded_long_window_exact(rng):
+    """Full family-D folded stack at T=64 (grouped fold engaged) matches the
+    native stack on the same params."""
+    x = _clips((1, 64, 16, 16, 3), seed=9)
+    m0 = CausalAnomalyDetector(FamilyDConfig(conv_stack="ndhwc",
+                                             conv1_mode="native"))
+    m1 = CausalAnomalyDetector(FamilyDConfig(conv_stack="folded"))
+    v = m0.init(rng, x)
+    s0, adj0, _ = m0.apply(v, x)
+    s1, adj1, _ = m1.apply(v, x)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(adj1), np.asarray(adj0),
+                               rtol=1e-5, atol=1e-6)
