@@ -110,7 +110,8 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3,
         mfu = best / BATCH * flops_per_step / PEAK_BF16_FLOPS
         log(f"model FLOPs (XLA cost analysis): {flops_per_step / BATCH / 1e6:.1f}"
             f" MFLOP/clip -> MFU {mfu * 100:.1f}% of {PEAK_BF16_FLOPS / 1e12:.0f}"
-            " TF/s peak bf16")
+            " TF/s peak bf16 (counts executed FLOPs incl. the T-fold's ~1.35x"
+            " whole-step MAC inflation — see PARITY.md hot-op table)")
     except Exception as e:  # cost analysis is best-effort on remote backends
         log(f"MFU estimate unavailable: {e}")
     return best, mfu
@@ -160,7 +161,7 @@ def measure_inference() -> float:
     return best
 
 
-def measure_long_window(t_len: int = 64, batch: int = 32) -> float:
+def measure_long_window(t_len: int = 64, batch: int = 128) -> float:
     """Long-temporal-window training throughput (T=64 clips, the north-star
     'larger temporal windows' config; tests/test_temporal.py proves the
     2x4 dp-x-sp sharded step equals this unsharded one).  Reported as
@@ -277,7 +278,9 @@ def measure_end_to_end_epoch() -> float:
         dt = time.perf_counter() - t0
     cps = n_clips / dt
     log(f"end-to-end epoch (disk->decode->train): {cps:.1f} clips/s "
-        f"({n_clips} clips in {dt:.2f}s)")
+        f"({n_clips} clips in {dt:.2f}s; ceiling here is the dev tunnel's "
+        f"~20-45 MB/s host->device path at ~98 KB/clip uint8, "
+        f"not decode or compute)")
     return cps
 
 

@@ -91,6 +91,9 @@ class CompactFeatureExtractor(nn.Module):
                                     layout="hwtc", name="conv3d_3")(x))
             x = jnp.transpose(x, (0, 3, 1, 2, 4))
         else:
+            if (conv1_mode in ("tfold", "tfold_pallas")
+                    and not _useful_fold(x.shape[1], c1)):
+                conv1_mode = "native"  # long windows: native measures faster
             x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
                                     mode=conv1_mode, name="conv3d_1")(x))
             x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,

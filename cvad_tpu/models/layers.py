@@ -210,9 +210,14 @@ class _CPadConv(nn.Module):
 
 
 def _useful_fold(t: int, cout: int) -> bool:
+    """Whole-T fold only: grouped folding (T > 128/cout) is exact and kept
+    reachable via explicit mode='tfold', but traced 2.6x SLOWER than the
+    native conv at T=64/B=128 on v5e (the group windows' 6-D stack/unstack
+    triggers ~12 ms/step of XLA layout copies), so the auto paths never
+    pick it."""
     from cvad_tpu.ops.pallas_conv import fold_group_size
 
-    return fold_group_size(t, cout) >= 2
+    return t >= 2 and fold_group_size(t, cout) == t
 
 
 class _HWTCConv(nn.Module):
@@ -292,6 +297,8 @@ class Conv3dTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cvad_tpu.ops.pallas_conv import fold_group_size
+
         if self._tpair_applicable(x):
             return _TPairConv(self.features, dtype=self.dtype,
                               kernel_init=self.kernel_init, name="conv")(x)
@@ -300,9 +307,10 @@ class Conv3dTorch(nn.Module):
                 and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
                 and self.use_bias and x.shape[2] % 2 == 0
                 and x.shape[3] % 2 == 0
-                # needs a useful T-group: whole-T when T*Cout fits the MXU's
-                # 128 lanes, else group-wise windows (see _TFoldConv)
-                and _useful_fold(x.shape[1], self.features)):
+                # whole-T fold when T*Cout fits the MXU's 128 lanes; longer
+                # T folds group-wise (_TFoldConv) — exact, but measured
+                # slower than native at T=64, hence only on explicit request
+                and fold_group_size(x.shape[1], self.features) >= 2):
             return _TFoldConv(self.features, dtype=self.dtype,
                               kernel_init=self.kernel_init,
                               unfold=self.unfold,

@@ -14,8 +14,10 @@ import sys
 
 import numpy as np
 
-BATCH = 256
-CLIP_SHAPE = (8, 64, 64, 3)
+import os
+
+BATCH = int(os.environ.get("CVAD_PROF_BATCH", 256))
+CLIP_SHAPE = (int(os.environ.get("CVAD_PROF_T", 8)), 64, 64, 3)
 
 
 def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
@@ -27,7 +29,7 @@ def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
 
     cfg = preset("family_d")
     model_kw = ({"conv_stack": "folded"} if mode == "folded"
-                else {"conv1_mode": mode})
+                else {"conv_stack": "ndhwc", "conv1_mode": mode})
     cfg = cfg.replace(
         model=cfg.model.replace(**model_kw),
         data=cfg.data.replace(batch_size=BATCH),

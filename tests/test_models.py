@@ -272,8 +272,9 @@ def test_tfold_grouped_long_window_exact(rng):
 
 
 def test_family_d_folded_long_window_exact(rng):
-    """Full family-D folded stack at T=64 (grouped fold engaged) matches the
-    native stack on the same params."""
+    """Family-D with conv_stack='folded' at T=64: the gate falls back to the
+    native stack (grouped folding traced slower than native for long
+    windows) and the function stays identical to ndhwc/native."""
     x = _clips((1, 64, 16, 16, 3), seed=9)
     m0 = CausalAnomalyDetector(FamilyDConfig(conv_stack="ndhwc",
                                              conv1_mode="native"))
