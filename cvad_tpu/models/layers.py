@@ -38,7 +38,7 @@ class _TPairConv(nn.Module):
     (the single hottest op of the family-D train step at C_out=16; measured
     via jax.profiler, see README perf notes).  Numerically exact vs the
     native lowering up to f32 add reordering
-    (tests/test_models.py::test_conv1_tpair_exact).
+    (tests/test_models.py::test_conv1_mode_exact).
     """
 
     features: int

@@ -89,12 +89,10 @@ def _make_fwd(interpret: bool):
         from jax.experimental.pallas import tpu as pltpu
 
         b, hp, wp, kc = xf.shape           # (B, H+2, W+2, (T+2)*C)
-        kk = 9 * kc // 1                   # im2col K before 3x3 expansion
-        k_full = 9 * kc                    # not padded; matmul pads lanes
+        k_full = 9 * kc                    # im2col contraction length
         ho, wo = (hp - 3) // 2 + 1, (wp - 3) // 2 + 1
         n = wd.shape[-1]
-        wf = wd.reshape(9 * kc, n)
-        del kk
+        wf = wd.reshape(k_full, n)
 
         # batch block: keep the im2col matrix + slab comfortably in VMEM
         bb = 1

@@ -27,11 +27,13 @@ def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
     from cvad_tpu.runtime.mesh import create_mesh
     from cvad_tpu.train.engine import Trainer
 
-    cfg = preset("family_d")
-    model_kw = ({"conv_stack": "folded"} if mode == "folded"
-                else {"conv_stack": "ndhwc", "conv1_mode": mode})
+    fam = os.environ.get("CVAD_PROF_PRESET", "family_d")
+    cfg = preset(fam)
+    if fam == "family_d":
+        model_kw = ({"conv_stack": "folded"} if mode == "folded"
+                    else {"conv_stack": "ndhwc", "conv1_mode": mode})
+        cfg = cfg.replace(model=cfg.model.replace(**model_kw))
     cfg = cfg.replace(
-        model=cfg.model.replace(**model_kw),
         data=cfg.data.replace(batch_size=BATCH),
         train=cfg.train.replace(out_dir="/tmp/cvad_prof", log_every=10**9,
                                 dtype="bfloat16",
