@@ -166,6 +166,11 @@ class FamilyBConfig(_Base):
     temporal_encoder: str = "lstm"
     attn_heads: int = 4
     attn_layers: int = 2
+    # computation dtype ('float32' | 'bfloat16'); params stay float32 and
+    # BatchNorm statistics always accumulate in float32 (the TPU AMP analog,
+    # same contract as FamilyDConfig.dtype).  train.dtype='bfloat16' flips
+    # this automatically, like family D.
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)

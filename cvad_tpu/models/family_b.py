@@ -95,14 +95,20 @@ class _FrameEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  valid: jnp.ndarray | None = None) -> jnp.ndarray:
+        dtype = jnp.dtype(getattr(self.cfg, "dtype", "float32"))
+        x = x.astype(dtype)
         for i, c in enumerate(self.cfg.conv_channels):
             x = nn.Conv(c, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                        kernel_init=_CONV_INIT, name=f"conv_{i}")(x)
+                        kernel_init=_CONV_INIT, dtype=dtype,
+                        name=f"conv_{i}")(x)
             x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
         # channel-major flatten to mirror torch nn.Flatten on (B, 128, 4, 4)
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        return nn.tanh(nn.Dense(self.cfg.latent_dim, kernel_init=_DENSE_INIT, name="fc")(x))
+        z = nn.Dense(self.cfg.latent_dim, kernel_init=_DENSE_INIT, dtype=dtype,
+                     name="fc")(x)
+        # latent/memory path stays float32 (cosine search + LSTM carry)
+        return nn.tanh(z).astype(jnp.float32)
 
 
 class _FrameDecoder(nn.Module):
@@ -114,7 +120,10 @@ class _FrameDecoder(nn.Module):
     def __call__(self, z: jnp.ndarray, *, train: bool = False,
                  valid: jnp.ndarray | None = None) -> jnp.ndarray:
         ch = self.cfg.conv_channels  # (32, 64, 128, 128)
-        x = nn.leaky_relu(nn.Dense(ch[-1] * 4 * 4, kernel_init=_DENSE_INIT, name="fc")(z),
+        dtype = jnp.dtype(getattr(self.cfg, "dtype", "float32"))
+        z = z.astype(dtype)
+        x = nn.leaky_relu(nn.Dense(ch[-1] * 4 * 4, kernel_init=_DENSE_INIT,
+                                   dtype=dtype, name="fc")(z),
                           negative_slope=self.cfg.leaky_slope)
         x = x.reshape(x.shape[0], ch[-1], 4, 4)  # torch Unflatten (C, H, W)
         x = jnp.transpose(x, (0, 2, 3, 1))  # -> (B, 4, 4, C)
@@ -122,13 +131,16 @@ class _FrameDecoder(nn.Module):
         for i, c in enumerate(outs):
             x = nn.ConvTranspose(c, (4, 4), strides=(2, 2),
                                  padding=[(2, 2), (2, 2)], transpose_kernel=True,
-                                 kernel_init=_CONV_INIT, name=f"deconv_{i}")(x)
+                                 kernel_init=_CONV_INIT, dtype=dtype,
+                                 name=f"deconv_{i}")(x)
             x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.leaky_relu(x, negative_slope=self.cfg.leaky_slope)
         x = nn.ConvTranspose(self.cfg.in_channels, (4, 4), strides=(2, 2),
                              padding=[(2, 2), (2, 2)], transpose_kernel=True,
-                             kernel_init=_CONV_INIT, name="deconv_out")(x)
-        return nn.sigmoid(x)
+                             kernel_init=_CONV_INIT, dtype=dtype,
+                             name="deconv_out")(x)
+        # reconstruction loss accumulates in float32
+        return nn.sigmoid(x).astype(jnp.float32)
 
 
 class MemoryVideoAutoEncoder(nn.Module):

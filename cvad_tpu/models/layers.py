@@ -494,19 +494,23 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
 
+        # statistics always accumulate in float32 (bf16 compute reads bf16
+        # activations at half the HBM bytes but sums exactly) — identical
+        # math for float32 inputs
+        xf = x.astype(jnp.float32)
         if not train:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
             if valid is None:
-                mean = jnp.mean(x, axes)
-                mean2 = jnp.mean(x * x, axes)
+                mean = jnp.mean(xf, axes)
+                mean2 = jnp.mean(xf * xf, axes)
             else:
                 w = valid.reshape((-1,) + (1,) * (x.ndim - 1))
                 cnt = jnp.maximum(valid.sum() * (x[..., 0].size / x.shape[0]),
                                   1.0)
-                mean = jnp.sum(x * w, axes) / cnt
-                mean2 = jnp.sum(x * x * w, axes) / cnt
+                mean = jnp.sum(xf * w, axes) / cnt
+                mean2 = jnp.sum(xf * xf * w, axes) / cnt
             var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -514,7 +518,7 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
 
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
-        return (x - mean) * mul + bias
+        return ((xf - mean) * mul + bias).astype(x.dtype)
 
 
 class BatchNorm(nn.Module):

@@ -188,9 +188,11 @@ def _family_c_task(cfg: ExperimentConfig) -> Task:
 
 
 def _family_b_task(cfg: ExperimentConfig) -> Task:
-    model = build_model(cfg.model)
-    tx = build_optimizer(cfg.optim)
     mcfg: FamilyBConfig = cfg.model
+    if cfg.train.dtype != "float32" and mcfg.dtype == "float32":
+        mcfg = mcfg.replace(dtype=cfg.train.dtype)
+    model = build_model(mcfg)
+    tx = build_optimizer(cfg.optim)
     loss_cfg: LossConfig = cfg.loss
 
     def init_state(rng, sample_batch) -> TrainState:
