@@ -203,6 +203,48 @@ def measure_long_window(t_len: int = 64, batch: int = 128) -> float:
     return best
 
 
+def measure_family_b(batch: int = 256) -> float:
+    """Family-B (memory-bank autoencoder) train-step throughput — the
+    second-largest reference model family; normal-only masking, memory-bank
+    update and min-cosine scoring included (bf16 compute path)."""
+    from cvad_tpu.config import preset
+    from cvad_tpu.runtime.mesh import create_mesh
+    from cvad_tpu.train.engine import Trainer
+
+    k = STEPS_PER_CALL
+    cfg = preset("family_b")
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=batch),
+        train=cfg.train.replace(out_dir="/tmp/cvad_bench_b",
+                                log_every=10**9, dtype="bfloat16",
+                                steps_per_call=k))
+    trainer = Trainer(cfg, mesh=create_mesh())
+    rng = np.random.default_rng(0)
+    ch = cfg.model.in_channels
+    b = {"clips": rng.integers(0, 256, (batch, 8, 64, 64, ch),
+                               dtype=np.uint8),
+         "labels": np.zeros(batch, np.float32)}
+    trainer.init_state(b)
+    chunk = trainer.put_chunk([b] * k)
+    step = lambda: trainer._jit_train_multi(trainer.state, chunk, trainer._rng)
+    for _ in range(WARMUP):
+        trainer.state, m = step()
+    np.asarray(m)
+    best = 0.0
+    iters = max(4, ITERS // k)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = None
+        for _ in range(iters):
+            trainer.state, m = step()
+            total = m if total is None else total + m
+        np.asarray(total)
+        best = max(best, k * batch * iters / (time.perf_counter() - t0))
+    log(f"family-B train step (memory AE, bf16, batch {batch}): "
+        f"{best:.0f} clips/s")
+    return best
+
+
 def measure_input_pipeline() -> float:
     """Host decode throughput (native C++ path) in frames/sec."""
     import tempfile
@@ -351,6 +393,7 @@ def main() -> None:
         measure_framework("bfloat16", reps=1, steps_per_call=1)  # per-dispatch
         measure_framework("float32", reps=1)
         measure_long_window()
+        measure_family_b()
         measure_inference()
         measure_input_pipeline()
         measure_end_to_end_epoch()
