@@ -93,9 +93,9 @@ class _TFoldConv(nn.Module):
     # NDHWC, for consumers that read the folded layout directly (the
     # 'folded' conv stack below)
     unfold: bool = True
-    # False -> XLA conv emitter (production default: measured near the
-    # folded roofline); True -> force the fused Pallas kernel
-    # (ops/pallas_conv.py); None -> Pallas on TPU, XLA elsewhere
+    # False/None -> XLA conv emitter (production: measured near the folded
+    # roofline, and Mosaic cannot lower the kernel's im2col on real TPUs —
+    # see ops/pallas_conv.py dispatch note); True -> force the Pallas kernel
     use_pallas: bool | None = False
 
     @nn.compact

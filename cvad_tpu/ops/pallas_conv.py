@@ -104,14 +104,22 @@ def _make_fwd(interpret: bool):
                     bb = cand
                     break
 
+        # stride-2 windows via phase-split reshapes + static slices — Mosaic
+        # rejects strided slicing on >2-D values ("only 2D gather"), but
+        # handles reshape relayouts and static slices
+        hp2, wp2 = hp // 2, wp // 2  # 66 -> 33 phase pairs
+
         def kernel(xf_ref, wf_ref, y_ref):
             xb = xf_ref[:]                  # (bb, hp, wp*kc) lanes-merged
-            xb = xb.reshape(bb, hp, wp, kc)
+            xr = xb.reshape(bb, hp2, 2, wp, kc)
             parts = []
             for kh in range(3):
-                rows = xb[:, kh:kh + 2 * ho:2]          # (bb, ho, wp, kc)
+                p, a0 = kh % 2, kh // 2
+                rows = xr[:, a0:a0 + ho, p]             # (bb, ho, wp, kc)
+                rw = rows.reshape(bb, ho, wp2, 2, kc)
                 for kw in range(3):
-                    parts.append(rows[:, :, kw:kw + 2 * wo:2, :])
+                    q, b0 = kw % 2, kw // 2
+                    parts.append(rw[:, :, b0:b0 + wo, q])  # (bb, ho, wo, kc)
             a = jnp.concatenate(parts, axis=-1)         # (bb, ho, wo, 9*kc)
             am = a.reshape(bb * ho * wo, 9 * kc)
             y = jnp.dot(am, wf_ref[:], preferred_element_type=jnp.float32)
@@ -164,12 +172,23 @@ def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
                        interpret: bool = False) -> jnp.ndarray:
     """Folded conv1 core: xf (B, H+2, W+2, (T+2)*C) x wd (3, 3, (T+2)*C, T*O)
     -> (B, H/2, W/2, T*O).  Bias/relu stay with the caller (XLA fuses them
-    into the consumer either way)."""
+    into the consumer either way).
+
+    Dispatch note (measured, round 2): `use_pallas=None` resolves to the
+    XLA conv emitter on every backend.  The fused kernel is semantically
+    exact (interpret-mode tests) but Mosaic cannot currently lower its
+    im2col construction on real TPUs — stride-2 window extraction needs
+    either >2-D strided gathers ("Only 2D gather is supported") or
+    lane-retiling reshapes ("infer-vector-layout: unsupported shape cast"),
+    both rejected by the Mosaic compiler as of jax 0.8.  XLA's conv
+    emitter, which owns privileged im2col/layout machinery, runs the folded
+    conv at ~151 us fwd (B=256 bf16) vs the formulation's ~131 us tile
+    roofline, so there is nothing left for a kernel to win even if the
+    lowering existed.  `use_pallas=True` forces the kernel (compiles in
+    interpret mode everywhere; raises the Mosaic error on real TPUs) and
+    exists for tests and for future Mosaic releases."""
     if interpret:
         return _INTERP(xf, wd)
     if use_pallas is True:
         return _PALLAS(xf, wd)
-    if use_pallas is False:
-        return _xla_folded(xf, wd)
-    return jax.lax.platform_dependent(xf, wd, tpu=_PALLAS,
-                                      default=_xla_folded)
+    return _xla_folded(xf, wd)
