@@ -70,9 +70,13 @@ class ResNetBackbone(nn.Module):
             x = nn.relu(bn(x, f"layer{li + 1}_bn1"))
 
         x = adaptive_avg_pool2d(x, self.cfg.backbone_pool)
-        # channel-major flatten to mirror torch view(B, T, C*4*6)
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, t, -1)
-        return x
+        # natural (h, w, c) flatten — NO per-step transpose (the traced
+        # channel-major relayout cost ~1.4 ms/step in f32<->bf16 copies).
+        # torch checkpoint parity is preserved by permuting the ROWS of the
+        # two torch-imported consumers (detector dense_0, direct-classifier
+        # dense_0) once at import time instead
+        # (runtime/checkpoint.py::family_a_feature_permutation).
+        return x.reshape(b, t, -1)
 
 
 class MaskedPedestrianDetector(nn.Module):

@@ -260,6 +260,19 @@ def import_torch_family_c(path: str):
         np.asarray, {"params": params, "batch_stats": stats})
 
 
+def family_a_feature_permutation(pool_hw=(4, 6), channels=256) -> np.ndarray:
+    """Row permutation mapping torch's channel-major backbone flatten
+    (index c*H*W + h*W + w over the pooled (C, H, W) map,
+    ``causal_anomaly_detection.py:142-143`` view) onto the framework's
+    natural (h, w, c) flatten.  Applied once at import time to the two
+    dense layers that consume the feature vector, so the per-step
+    activation transpose disappears from the forward pass."""
+    ph, pw = pool_hw
+    h, w, c = np.meshgrid(np.arange(ph), np.arange(pw), np.arange(channels),
+                          indexing="ij")
+    return (c * (ph * pw) + h * pw + w).reshape(-1)
+
+
 def import_torch_family_a(src) -> Dict[str, Any]:
     """Reference ``CausalAnomalyDetector`` (``causal_anomaly_detection.py:508-538``)
     state dict -> framework variables for
@@ -307,9 +320,15 @@ def import_torch_family_a(src) -> Dict[str, Any]:
             "var": sd[f"{tkey}.running_var"]}
 
     # detector MLP (Sequential idx 0,3,6,8 -> dense_0..3; 10 -> detector_out)
+    # dense_0 consumes the backbone flatten: permute its input rows from
+    # torch's channel-major order onto the framework's natural (h, w, c)
+    # flatten (models/family_a.py ResNetBackbone note)
+    feat_perm = family_a_feature_permutation()
     for i, t_idx in enumerate((0, 3, 6, 8)):
-        put(params, f"detector/detector_net/dense_{i}",
-            dense(f"detector.detector_net.{t_idx}"))
+        leaf = dense(f"detector.detector_net.{t_idx}")
+        if i == 0:
+            leaf = {**leaf, "kernel": leaf["kernel"][feat_perm]}
+        put(params, f"detector/detector_net/dense_{i}", leaf)
     put(params, "detector/detector_out", dense("detector.detector_net.10"))
 
     for i in (0, 2, 4):
@@ -360,8 +379,10 @@ def import_torch_family_a(src) -> Dict[str, Any]:
                 dense(f"anomaly_scorer.{head}.{t_idx}"))
 
     for i, t_idx in enumerate((0, 3, 6, 8, 10)):
-        put(params, f"direct_classifier/dense_{i}",
-            dense(f"direct_classifier.{t_idx}"))
+        leaf = dense(f"direct_classifier.{t_idx}")
+        if i == 0:  # consumes the (time-pooled) backbone flatten
+            leaf = {**leaf, "kernel": leaf["kernel"][feat_perm]}
+        put(params, f"direct_classifier/dense_{i}", leaf)
 
     return jax.tree_util.tree_map(
         np.asarray, {"params": params, "batch_stats": stats})

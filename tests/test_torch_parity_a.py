@@ -103,7 +103,13 @@ def test_backbone_parity(ref):
             {"params": variables["params"]["backbone"],
              "batch_stats": variables["batch_stats"]["backbone"]},
             jnp.asarray(x), False, None)
-    np.testing.assert_allclose(np.asarray(feats_j), feats_t,
+    # the framework flattens in natural (h, w, c) order (no per-step
+    # transpose); torch flattens channel-major — compare through the same
+    # permutation the importer applies to consumer weights
+    from cvad_tpu.runtime.checkpoint import family_a_feature_permutation
+
+    perm = family_a_feature_permutation()
+    np.testing.assert_allclose(np.asarray(feats_j), feats_t[:, :, perm],
                                rtol=2e-4, atol=2e-4)
 
 
