@@ -143,6 +143,9 @@ class FamilyCConfig(_Base):
     """Minimal stable 3D-CNN classifier (``minicausal_vad_complete3.py:25-102``)."""
 
     name: str = "family_c"
+    # computation dtype; params/BN-stats stay float32 (same contract as
+    # families B/D; train.dtype='bfloat16' flips this automatically)
+    dtype: str = "float32"
     in_channels: int = 1
     conv_channels: Tuple[int, int, int] = (8, 16, 32)
     mlp_dims: Tuple[int, int] = (16, 8)

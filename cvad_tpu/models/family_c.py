@@ -35,14 +35,18 @@ class Simple3DCNNDetector(nn.Module):
                  valid: jnp.ndarray | None = None) -> jnp.ndarray:
         conv_init = kaiming_normal_fan_out("relu")
         dense_init = normal_std(0.01)
+        dtype = jnp.dtype(getattr(self.cfg, "dtype", "float32"))
+        x = x.astype(dtype)
         c1, c2, c3 = self.cfg.conv_channels
         pools = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]  # minicausal_vad_complete3.py:41,47,53
         for i, (c, pool) in enumerate(zip((c1, c2, c3), pools)):
-            x = Conv3dTorch(c, kernel_init=conv_init, name=f"conv_{i}")(x)
+            x = Conv3dTorch(c, kernel_init=conv_init, dtype=dtype,
+                            name=f"conv_{i}")(x)
             x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.relu(x)
             x = max_pool3d(x, pool)
-        x = x.mean(axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1)) + flatten (:56,96-97)
+        # classifier head and loss accumulate in float32
+        x = x.astype(jnp.float32).mean(axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1)) + flatten (:56,96-97)
 
         m1, m2 = self.cfg.mlp_dims
         x = nn.Dropout(0.5, deterministic=deterministic)(x)

@@ -139,7 +139,10 @@ def _family_d_task(cfg: ExperimentConfig) -> Task:
 
 
 def _family_c_task(cfg: ExperimentConfig) -> Task:
-    model = build_model(cfg.model)
+    mcfg = cfg.model
+    if cfg.train.dtype != "float32" and mcfg.dtype == "float32":
+        mcfg = mcfg.replace(dtype=cfg.train.dtype)
+    model = build_model(mcfg)
     tx = build_optimizer(cfg.optim)
 
     def init_state(rng, sample_batch) -> TrainState:
