@@ -146,6 +146,10 @@ class FamilyCConfig(_Base):
     # computation dtype; params/BN-stats stay float32 (same contract as
     # families B/D; train.dtype='bfloat16' flips this automatically)
     dtype: str = "float32"
+    # conv lowering: 'native' | 'tfold' | 'auto' (tfold on accelerators) —
+    # every family-C conv is stride-1 k3 with T*Cout <= 128, so the T-fold
+    # fills the MXU lanes exactly (models/layers.py::_TFoldConv, stride-1)
+    conv_mode: str = "auto"
     in_channels: int = 1
     conv_channels: Tuple[int, int, int] = (8, 16, 32)
     mlp_dims: Tuple[int, int] = (16, 8)

@@ -37,11 +37,18 @@ class Simple3DCNNDetector(nn.Module):
         dense_init = normal_std(0.01)
         dtype = jnp.dtype(getattr(self.cfg, "dtype", "float32"))
         x = x.astype(dtype)
+        mode = getattr(self.cfg, "conv_mode", "auto")
+        if mode == "auto":
+            from cvad_tpu.models.family_d import _resolve_lowering
+
+            # same per-backend policy as family D: fold on accelerators
+            mode = "tfold" if _resolve_lowering(self.cfg)[0] == "folded" \
+                else "native"
         c1, c2, c3 = self.cfg.conv_channels
         pools = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]  # minicausal_vad_complete3.py:41,47,53
         for i, (c, pool) in enumerate(zip((c1, c2, c3), pools)):
             x = Conv3dTorch(c, kernel_init=conv_init, dtype=dtype,
-                            name=f"conv_{i}")(x)
+                            mode=mode, name=f"conv_{i}")(x)
             x = MaskedBatchNorm(name=f"bn_{i}")(x, train=train, valid=valid)
             x = nn.relu(x)
             x = max_pool3d(x, pool)

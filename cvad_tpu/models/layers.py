@@ -97,6 +97,9 @@ class _TFoldConv(nn.Module):
     # roofline, and Mosaic cannot lower the kernel's im2col on real TPUs —
     # see ops/pallas_conv.py dispatch note); True -> force the Pallas kernel
     use_pallas: bool | None = False
+    # spatial stride (1 or 2): family-D conv1 is (1,2,2); family-C's
+    # stride-1 conv stack folds with spatial stride 1
+    spatial_stride: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -112,10 +115,12 @@ class _TFoldConv(nn.Module):
                                                   dtype=self.dtype)
         g = fold_group_size(t, cout)
         wd = fold_kernel(kernel, g)
+        s = self.spatial_stride
         if g == t:
             xf = fold_input(x)
-            y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas)
-            y = y.reshape(b, h // 2, w // 2, t, cout)
+            y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas,
+                                   stride=s)
+            y = y.reshape(b, h // s, w // s, t, cout)
             if not self.unfold:
                 return y + bias
             return jnp.transpose(y, (0, 3, 1, 2, 4)) + bias
@@ -127,13 +132,13 @@ class _TFoldConv(nn.Module):
                                                axis=1) for i in range(n)], 1)
         xf = jnp.transpose(wins, (0, 1, 3, 4, 2, 5)).reshape(
             b * n, h + 2, w + 2, (g + 2) * cin)
-        y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas)
-        y = y.reshape(b, n, h // 2, w // 2, g, cout)
+        y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas, stride=s)
+        y = y.reshape(b, n, h // s, w // s, g, cout)
         if not self.unfold:
             y = jnp.transpose(y, (0, 2, 3, 1, 4, 5))  # (b,h',w',n,g,c)
-            return y.reshape(b, h // 2, w // 2, t, cout) + bias
+            return y.reshape(b, h // s, w // s, t, cout) + bias
         y = jnp.transpose(y, (0, 1, 4, 2, 3, 5))      # (b,n,g,h',w',c)
-        return y.reshape(b, t, h // 2, w // 2, cout) + bias
+        return y.reshape(b, t, h // s, w // s, cout) + bias
 
 
 class _S2DConv(nn.Module):
@@ -304,9 +309,11 @@ class Conv3dTorch(nn.Module):
                               kernel_init=self.kernel_init, name="conv")(x)
         if (self.mode in ("tfold", "tfold_pallas")
                 and self.kernel == (3, 3, 3)
-                and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
-                and self.use_bias and x.shape[2] % 2 == 0
-                and x.shape[3] % 2 == 0
+                and self.stride in ((1, 2, 2), (1, 1, 1))
+                and self.padding == (1, 1, 1)
+                and self.use_bias
+                and (self.stride[1] == 1 or (x.shape[2] % 2 == 0
+                                             and x.shape[3] % 2 == 0))
                 # whole-T fold when T*Cout fits the MXU's 128 lanes; longer
                 # T folds group-wise (_TFoldConv) — exact, but measured
                 # slower than native at T=64, hence only on explicit request
@@ -316,6 +323,7 @@ class Conv3dTorch(nn.Module):
                               unfold=self.unfold,
                               use_pallas=(None if self.mode == "tfold_pallas"
                                           else False),
+                              spatial_stride=self.stride[1],
                               name="conv")(x)
         if (self.mode == "s2d" and self.kernel == (3, 3, 3)
                 and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)

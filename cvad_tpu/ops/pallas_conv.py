@@ -75,11 +75,12 @@ def fold_kernel(kernel: jnp.ndarray, t: int) -> jnp.ndarray:
     return wd
 
 
-def _xla_folded(xf: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
-    """Reference lowering: one stride-(2,2) VALID 2-D conv."""
+def _xla_folded(xf: jnp.ndarray, wd: jnp.ndarray,
+                stride: int = 2) -> jnp.ndarray:
+    """Reference lowering: one stride-(s,s) VALID 2-D conv."""
     dn = jax.lax.conv_dimension_numbers(xf.shape, wd.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(xf, wd, (2, 2), "VALID",
+    return jax.lax.conv_general_dilated(xf, wd, (stride, stride), "VALID",
                                         dimension_numbers=dn)
 
 
@@ -169,10 +170,12 @@ _INTERP = _make_custom(True)
 
 def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
                        use_pallas: Optional[bool] = None,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Folded conv1 core: xf (B, H+2, W+2, (T+2)*C) x wd (3, 3, (T+2)*C, T*O)
-    -> (B, H/2, W/2, T*O).  Bias/relu stay with the caller (XLA fuses them
-    into the consumer either way).
+                       interpret: bool = False,
+                       stride: int = 2) -> jnp.ndarray:
+    """Folded conv core: xf (B, H+2, W+2, (T+2)*C) x wd (3, 3, (T+2)*C, T*O)
+    -> (B, H/s, W/s, T*O) for spatial stride s in {1, 2} (family-D conv1 is
+    s=2; the family-C stride-1 conv stack folds with s=1).  Bias/relu stay
+    with the caller (XLA fuses them into the consumer either way).
 
     Dispatch note (measured, round 2): `use_pallas=None` resolves to the
     XLA conv emitter on every backend.  The fused kernel is semantically
@@ -187,8 +190,9 @@ def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
     lowering existed.  `use_pallas=True` forces the kernel (compiles in
     interpret mode everywhere; raises the Mosaic error on real TPUs) and
     exists for tests and for future Mosaic releases."""
-    if interpret:
-        return _INTERP(xf, wd)
-    if use_pallas is True:
-        return _PALLAS(xf, wd)
-    return _xla_folded(xf, wd)
+    if stride == 2:
+        if interpret:
+            return _INTERP(xf, wd)
+        if use_pallas is True:
+            return _PALLAS(xf, wd)
+    return _xla_folded(xf, wd, stride)

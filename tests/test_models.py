@@ -286,3 +286,41 @@ def test_family_d_folded_long_window_exact(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(adj1), np.asarray(adj0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tfold_stride1_exact(rng):
+    """Stride-1 T-fold (the family-C conv stack lowering) is the same
+    function as the native conv: T*Cout <= 128 folds whole-T with full
+    MXU lane occupancy at (T+2)/3 the MACs."""
+    from cvad_tpu.models.layers import Conv3dTorch
+
+    x = _clips((2, 8, 12, 12, 3), seed=11)
+    native = Conv3dTorch(8, stride=(1, 1, 1), mode="native")
+    tfold = Conv3dTorch(8, stride=(1, 1, 1), mode="tfold")
+    params = native.init(rng, x)
+    y0 = native.apply(params, x)
+    y1 = tfold.apply(params, x)
+    assert y1.shape == y0.shape == (2, 8, 12, 12, 8)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-6, atol=2e-6)
+    g0 = jax.grad(lambda p: (native.apply(p, x) ** 2).sum())(params)
+    g1 = jax.grad(lambda p: (tfold.apply(p, x) ** 2).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_family_c_tfold_exact(rng):
+    """Family-C with conv_mode='tfold' (all three stride-1 convs folded)
+    matches conv_mode='native' on the same params, through BN/pool/head."""
+    x = _clips((2, 8, 64, 64, 1), seed=12)
+    m0 = Simple3DCNNDetector(FamilyCConfig(conv_mode="native"))
+    m1 = Simple3DCNNDetector(FamilyCConfig(conv_mode="tfold"))
+    v = m0.init(rng, x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(rng, x, train=False))
+    y0 = m0.apply(v, x)
+    y1 = m1.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
