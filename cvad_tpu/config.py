@@ -200,6 +200,12 @@ class FamilyAConfig(_Base):
     remat: bool = False  # jax.checkpoint the backbone: trade FLOPs for HBM on large frames
     score_blend: Tuple[float, float] = (0.6, 0.4)  # causal vs direct (:574)
     scorer_blend: Tuple[float, float, float] = (0.5, 0.3, 0.2)  # causal/motion/temporal (:497)
+    # computation dtype ('float32' | 'bfloat16'); params/BN-stats stay float32
+    # and the score/KL outputs are cast back to float32 before the loss (same
+    # contract as families B/C/D).  train.dtype='bfloat16' flips this
+    # automatically.  The backbone dominates the step, and its activations at
+    # 240x360 frames are the HBM-bandwidth hot spot — bf16 halves the bytes.
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)

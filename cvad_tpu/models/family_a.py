@@ -35,6 +35,11 @@ from cvad_tpu.config import FamilyAConfig
 from cvad_tpu.models.layers import MLP, MaskedBatchNorm, adaptive_avg_pool2d
 
 
+def _cdtype(cfg: FamilyAConfig) -> jnp.dtype:
+    """Computation dtype; params/BN-stats stay float32 (B/C/D contract)."""
+    return jnp.dtype(getattr(cfg, "dtype", "float32"))
+
+
 class ResNetBackbone(nn.Module):
     """Per-frame 2D conv backbone (``causal_anomaly_detection.py:110-158``):
     7x7/s2 conv -> BN -> ReLU -> maxpool -> 4 plain conv stages -> adaptive
@@ -46,16 +51,18 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  sample_valid: jnp.ndarray | None = None) -> jnp.ndarray:
         b, t = x.shape[0], x.shape[1]
-        x = x.reshape((b * t,) + x.shape[2:])  # (B*T, H, W, C)
+        dtype = _cdtype(self.cfg)
+        x = x.reshape((b * t,) + x.shape[2:]).astype(dtype)  # (B*T, H, W, C)
         # DP-padding mask per clip -> per folded frame row
         fvalid = None if sample_valid is None else jnp.repeat(sample_valid, t)
 
         def bn(h, name):
+            # MaskedBatchNorm accumulates stats in f32, returns h.dtype
             return MaskedBatchNorm(name=name)(h, train=train, valid=fvalid)
 
         ch = self.cfg.backbone_channels
         x = nn.Conv(ch[0], (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    name="conv1")(x)
+                    dtype=dtype, name="conv1")(x)
         x = nn.relu(bn(x, "bn1"))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -63,10 +70,10 @@ class ResNetBackbone(nn.Module):
         for li, (c, s) in enumerate(zip(ch[1:], strides)):
             # each stage: stride conv + one unit conv, both with BN+ReLU (:128-139)
             x = nn.Conv(c, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
-                        name=f"layer{li + 1}_conv0")(x)
+                        dtype=dtype, name=f"layer{li + 1}_conv0")(x)
             x = nn.relu(bn(x, f"layer{li + 1}_bn0"))
             x = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)],
-                        name=f"layer{li + 1}_conv1")(x)
+                        dtype=dtype, name=f"layer{li + 1}_conv1")(x)
             x = nn.relu(bn(x, f"layer{li + 1}_bn1"))
 
         x = adaptive_avg_pool2d(x, self.cfg.backbone_pool)
@@ -99,13 +106,15 @@ class MaskedPedestrianDetector(nn.Module):
     def __call__(self, features: jnp.ndarray, *, deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         k = self.cfg.max_boxes
+        dtype = _cdtype(self.cfg)
         h = MLP((512, 256, 128, 64), final_activation="relu",
-                dropout_after=(0, 1), dropout_rates=(0.3, 0.2),
+                dropout_after=(0, 1), dropout_rates=(0.3, 0.2), dtype=dtype,
                 name="detector_net")(features, deterministic=deterministic)
         bias = jnp.asarray(self._BIAS, jnp.float32)
         if k * 4 != len(self._BIAS):  # non-default K: tile/trim the pattern
             bias = jnp.resize(bias, (k * 4,))
-        head = nn.Dense(k * 4, bias_init=lambda *_: bias, name="detector_out")
+        head = nn.Dense(k * 4, bias_init=lambda *_: bias, dtype=dtype,
+                        name="detector_out")
         raw = head(h).reshape(features.shape[:-1] + (k, 4))
         x = nn.sigmoid(raw[..., 0]) * 360.0
         y = nn.sigmoid(raw[..., 1]) * 240.0
@@ -137,9 +146,11 @@ class AnchorPedestrianDetector(nn.Module):
     def __call__(self, features: jnp.ndarray, *, deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         k = self.num_anchors
-        boxes = nn.Dense(k * 4, name="bbox_head")(features)
+        dtype = _cdtype(self.cfg)
+        boxes = nn.Dense(k * 4, dtype=dtype, name="bbox_head")(features)
         boxes = boxes.reshape(features.shape[:-1] + (k, 4))
-        conf = nn.sigmoid(nn.Dense(k, name="conf_head")(features))  # (B, T, K)
+        conf = nn.sigmoid(nn.Dense(k, dtype=dtype,
+                                   name="conf_head")(features))  # (B, T, K)
         valid = conf > 0.5
         none_valid = ~valid.any(axis=-1)
         # dummy zero box in slot 0 when nothing passes (:160-161)
@@ -160,9 +171,10 @@ class TrajectoryTracker(nn.Module):
     @nn.compact
     def __call__(self, boxes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         d = self.cfg.reid_dim
-        h = nn.relu(nn.Dense(32, name="reid_0")(boxes))
-        h = nn.relu(nn.Dense(d, name="reid_2")(h))
-        h = nn.Dense(d, name="reid_4")(h)
+        dtype = _cdtype(self.cfg)
+        h = nn.relu(nn.Dense(32, dtype=dtype, name="reid_0")(boxes))
+        h = nn.relu(nn.Dense(d, dtype=dtype, name="reid_2")(h))
+        h = nn.Dense(d, dtype=dtype, name="reid_4")(h)
         traj = jnp.concatenate([boxes, h], axis=-1)
         return traj * valid[..., None].astype(traj.dtype)
 
@@ -176,14 +188,16 @@ class TrajectoryEncoder(nn.Module):
     @nn.compact
     def __call__(self, traj: jnp.ndarray) -> jnp.ndarray:
         b, t, k, d = traj.shape
+        dtype = _cdtype(self.cfg)
         seq = jnp.transpose(traj, (0, 2, 1, 3)).reshape(b * k, t, d)
-        cell = nn.GRUCell(features=self.cfg.gru_hidden)
+        cell = nn.GRUCell(features=self.cfg.gru_hidden, dtype=dtype)
         carry = cell.initialize_carry(jax.random.key(0), seq[:, 0].shape)
         scan = nn.scan(lambda c, carry, x: c(carry, x),
                        variable_broadcast="params", split_rngs={"params": False},
                        in_axes=1, out_axes=1)
         h_last, _ = scan(cell, carry, seq)
-        latent = nn.Dense(self.cfg.traj_latent, name="encoder")(h_last)
+        latent = nn.Dense(self.cfg.traj_latent, dtype=dtype,
+                          name="encoder")(h_last)
         return latent.reshape(b, k, self.cfg.traj_latent)
 
 
@@ -197,16 +211,20 @@ class CausalFactorExtractor(nn.Module):
     def __call__(self, enc: jnp.ndarray, traj_valid: jnp.ndarray,
                  rng: Optional[jax.Array], *, sample: bool = True):
         f = self.cfg.num_factors
-        h = nn.relu(nn.Dense(32, name="enc_0")(enc))
-        h = nn.relu(nn.Dense(32, name="enc_2")(h))
-        mu = nn.Dense(f, name="mu_head")(h)
-        logvar = nn.Dense(f, name="logvar_head")(h)
+        dtype = _cdtype(self.cfg)
+        h = nn.relu(nn.Dense(32, dtype=dtype, name="enc_0")(enc))
+        h = nn.relu(nn.Dense(32, dtype=dtype, name="enc_2")(h))
+        mu = nn.Dense(f, dtype=dtype, name="mu_head")(h)
+        logvar = nn.Dense(f, dtype=dtype, name="logvar_head")(h)
         if sample and rng is not None:
             std = jnp.exp(0.5 * logvar)
             z = mu + jax.random.normal(rng, std.shape, std.dtype) * std
         else:
             z = mu  # deterministic eval path (parity is defined here, SURVEY.md §7)
-        kl = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=-1)  # (B, K)
+        # KL accumulates in f32 regardless of compute dtype (exp/square of
+        # bf16 logvar loses the loss signal's low bits)
+        muf, lvf = mu.astype(jnp.float32), logvar.astype(jnp.float32)
+        kl = -0.5 * jnp.sum(1 + lvf - muf**2 - jnp.exp(lvf), axis=-1)  # (B, K)
         m = traj_valid.astype(kl.dtype)
         kl_mean = (kl * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)  # (B,)
         z = z * m[..., None]
@@ -235,12 +253,13 @@ class CausalStructureLearner(nn.Module):
         else:
             factors_n = factors[:, :n]
             node_valid = traj_valid[:, :n]
-        nodes = nn.Dense(32, name="node_encoder")(factors_n)  # (B, N, 32)
+        dtype = _cdtype(self.cfg)
+        nodes = nn.Dense(32, dtype=dtype, name="node_encoder")(factors_n)  # (B, N, 32)
         pairs = jnp.concatenate(
             [jnp.broadcast_to(nodes[:, :, None], (b, n, n, 32)),
              jnp.broadcast_to(nodes[:, None, :], (b, n, n, 32))], axis=-1)
-        e = nn.relu(nn.Dense(32, name="edge_0")(pairs))
-        e = nn.sigmoid(nn.Dense(1, name="edge_2")(e))[..., 0]  # (B, N, N)
+        e = nn.relu(nn.Dense(32, dtype=dtype, name="edge_0")(pairs))
+        e = nn.sigmoid(nn.Dense(1, dtype=dtype, name="edge_2")(e))[..., 0]  # (B, N, N)
         mask = (node_valid[:, :, None] & node_valid[:, None, :]).astype(e.dtype)
         adj = e * mask * (1.0 - jnp.eye(n, dtype=e.dtype))
         return adj, jnp.broadcast_to(structure_params, (b, n, n))
@@ -254,10 +273,12 @@ class DynamicsPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, factors: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
-        structured = jnp.einsum("bij,bkj->bki", adj, factors)
-        h = nn.relu(nn.Dense(32, name="dyn_0")(structured))
-        h = nn.relu(nn.Dense(32, name="dyn_2")(h))
-        return nn.Dense(self.cfg.num_factors, name="dyn_4")(h)
+        dtype = _cdtype(self.cfg)
+        structured = jnp.einsum("bij,bkj->bki", adj.astype(dtype),
+                                factors.astype(dtype))
+        h = nn.relu(nn.Dense(32, dtype=dtype, name="dyn_0")(structured))
+        h = nn.relu(nn.Dense(32, dtype=dtype, name="dyn_2")(h))
+        return nn.Dense(self.cfg.num_factors, dtype=dtype, name="dyn_4")(h)
 
 
 class EnhancedAnomalyScorer(nn.Module):
@@ -276,13 +297,14 @@ class EnhancedAnomalyScorer(nn.Module):
         pred = (predicted * m).sum(1) / denom
         diff = jnp.abs(cur - pred)
 
+        dtype = _cdtype(self.cfg)
         causal = MLP((64, 32, 1), final_activation="sigmoid", dropout=0.2,
-                     dropout_after=(0,), name="causal_scorer")(
+                     dropout_after=(0,), dtype=dtype, name="causal_scorer")(
                          jnp.concatenate([cur, pred, diff], -1),
                          deterministic=deterministic)
-        motion = MLP((32, 16, 1), final_activation="sigmoid",
+        motion = MLP((32, 16, 1), final_activation="sigmoid", dtype=dtype,
                      name="motion_scorer")(jnp.concatenate([cur, pred], -1))
-        temporal = MLP((32, 16, 1), final_activation="sigmoid",
+        temporal = MLP((32, 16, 1), final_activation="sigmoid", dtype=dtype,
                        name="temporal_scorer")(cur)
         w = self.cfg.scorer_blend
         return (w[0] * causal + w[1] * motion + w[2] * temporal)[..., 0]
@@ -304,7 +326,7 @@ class SimpleAnomalyScorer(nn.Module):
         pred = (predicted * m).sum(1) / denom
         x = jnp.concatenate([cur, pred, jnp.abs(cur - pred)], -1)
         return MLP((32, 16, 1), final_activation="sigmoid",
-                   name="score_net")(x)[..., 0]
+                   dtype=_cdtype(self.cfg), name="score_net")(x)[..., 0]
 
 
 class CausalPipelineDetector(nn.Module):
@@ -357,12 +379,17 @@ class CausalPipelineDetector(nn.Module):
         causal_scores = scorer_cls(cfg, name="anomaly_scorer")(
             factors_n, predicted, node_valid, deterministic=deterministic)
 
+        # score/KL outputs leave in f32 regardless of compute dtype: the
+        # 4-term loss (ops/losses.py::family_a_loss) and eval thresholds
+        # consume them, and the tensors are (B,)-tiny
+        causal_scores = causal_scores.astype(jnp.float32)
         if cfg.direct_variant:
             pooled = feats.mean(axis=1)
             direct = MLP((512, 256, 128, 64, 2), final_activation="softmax",
                          dropout_after=(0, 1), dropout_rates=(0.3, 0.2),
-                         name="direct_classifier")(
+                         dtype=_cdtype(cfg), name="direct_classifier")(
                              pooled, deterministic=deterministic)
+            direct = direct.astype(jnp.float32)
             w0, w1 = cfg.score_blend
             final = w0 * causal_scores + w1 * direct[:, 1]
         else:

@@ -453,6 +453,7 @@ class MLP(nn.Module):
     # heads mix rates, e.g. Dropout(0.3) then Dropout(0.2) in
     # causal_anomaly_detection.py:166-175); falls back to `dropout`
     dropout_rates: Tuple[float, ...] | None = None
+    dtype: Any = None  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -461,7 +462,7 @@ class MLP(nn.Module):
                       else self.dropout)
                 for j, idx in enumerate(self.dropout_after)}
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
             if i < n - 1:
                 x = nn.relu(x)
             if rate.get(i, 0.0) > 0:

@@ -274,7 +274,10 @@ def update_memory_masked(state, feats, mask):
 
 
 def _family_a_task(cfg: ExperimentConfig) -> Task:
-    model = build_model(cfg.model)
+    mcfg = cfg.model
+    if cfg.train.dtype != "float32" and mcfg.dtype == "float32":
+        mcfg = mcfg.replace(dtype=cfg.train.dtype)
+    model = build_model(mcfg)
     tx = build_optimizer(cfg.optim)
     if cfg.model.freeze_stem:
         # freeze backbone conv1/bn1 params (the reference's

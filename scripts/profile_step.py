@@ -17,7 +17,10 @@ import numpy as np
 import os
 
 BATCH = int(os.environ.get("CVAD_PROF_BATCH", 256))
-CLIP_SHAPE = (int(os.environ.get("CVAD_PROF_T", 8)), 64, 64, 3)
+# full clip shape override, e.g. CVAD_PROF_SHAPE=8,240,360,1 for family_a
+_shape = os.environ.get("CVAD_PROF_SHAPE")
+CLIP_SHAPE = (tuple(int(s) for s in _shape.split(",")) if _shape
+              else (int(os.environ.get("CVAD_PROF_T", 8)), 64, 64, 3))
 
 
 def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
@@ -36,7 +39,8 @@ def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
     cfg = cfg.replace(
         data=cfg.data.replace(batch_size=BATCH),
         train=cfg.train.replace(out_dir="/tmp/cvad_prof", log_every=10**9,
-                                dtype="bfloat16",
+                                dtype=os.environ.get("CVAD_PROF_DTYPE",
+                                                     "bfloat16"),
                                 steps_per_call=steps_per_call))
     trainer = Trainer(cfg, mesh=create_mesh())
     rng = np.random.default_rng(0)
