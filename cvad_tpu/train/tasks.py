@@ -273,20 +273,37 @@ def update_memory_masked(state, feats, mask):
 # ---------------------------------------------------------------------------
 
 
+def _is_frozen(path) -> bool:
+    """Family-A frozen-stem predicate: backbone conv1/bn1 leaves."""
+    keys = [getattr(k, "key", "") for k in path]
+    return "backbone" in keys and any(k in ("conv1", "bn1") for k in keys)
+
+
+def stop_frozen_stem(params):
+    """requires_grad=False semantics (apply_memory_efficient_training,
+    causal_anomaly_detection.py:592-607): no gradient is COMPUTED for
+    conv1/bn1 at all.  This matters beyond the update math: with
+    clip_by_global_norm in the optax chain, live frozen grads would be
+    (a) wrong vs torch — clip_grad_norm_ only sees requires_grad
+    params — and (b) expensive: the stem backward (conv1 wgrad at
+    C_in=1, bn1, and the maxpool select-and-scatter) survived DCE just
+    to feed the norm, ~7 ms of a 30 ms step at 240x360 frames."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: jax.lax.stop_gradient(v) if _is_frozen(path) else v,
+        params)
+
+
 def _family_a_task(cfg: ExperimentConfig) -> Task:
     mcfg = cfg.model
     if cfg.train.dtype != "float32" and mcfg.dtype == "float32":
         mcfg = mcfg.replace(dtype=cfg.train.dtype)
     model = build_model(mcfg)
     tx = build_optimizer(cfg.optim)
+
     if cfg.model.freeze_stem:
         # freeze backbone conv1/bn1 params (the reference's
         # apply_memory_efficient_training, causal_anomaly_detection.py:592-607);
         # BN running stats still update via batch_stats, exactly like torch
-        def _is_frozen(path) -> bool:
-            keys = [getattr(k, "key", "") for k in path]
-            return "backbone" in keys and any(k in ("conv1", "bn1") for k in keys)
-
         def trainable(params):
             return jax.tree_util.tree_map_with_path(
                 lambda path, _: not _is_frozen(path), params)
@@ -312,6 +329,8 @@ def _family_a_task(cfg: ExperimentConfig) -> Task:
         r_vae, r_drop = jax.random.split(rng)
 
         def loss_fn(params):
+            if cfg.model.freeze_stem:
+                params = stop_frozen_stem(params)
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["clips"], rng=r_vae, train=True, deterministic=False,

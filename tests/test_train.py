@@ -197,6 +197,38 @@ def test_family_a_stem_frozen(tmp_path):
     assert not np.allclose(np.asarray(l1_b), np.asarray(l1_a))
 
 
+def test_family_a_frozen_stem_grads_are_zero():
+    """requires_grad=False parity: no gradient is computed for conv1/bn1, so
+    clip_by_global_norm sees only trainable params (torch's clip_grad_norm_
+    skips no-grad params) and XLA dead-code-eliminates the stem backward."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.config import FamilyAConfig
+    from cvad_tpu.models import build_model
+    from cvad_tpu.ops.losses import family_a_loss
+    from cvad_tpu.train.tasks import stop_frozen_stem
+
+    cfg = FamilyAConfig(frame_hw=(32, 48))
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (2, 4, 32, 48, 1)),
+                    jnp.float32)
+    labels = jnp.array([0, 1])
+    v = model.init(jax.random.key(0), x, train=True)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": stop_frozen_stem(params),
+             "batch_stats": v["batch_stats"]},
+            x, train=True, deterministic=False, rng=jax.random.key(1),
+            rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"])
+        return family_a_loss(out, labels)[0]
+
+    grads = jax.grad(loss_fn)(v["params"])
+    assert np.all(np.asarray(grads["backbone"]["conv1"]["kernel"]) == 0.0)
+    assert np.all(np.asarray(grads["backbone"]["bn1"]["scale"]) == 0.0)
+    assert np.any(np.asarray(grads["backbone"]["layer1_conv0"]["kernel"]) != 0.0)
+
+
 def test_torch_init_statistics():
     """Initializer schemes match torch statistics (std within tolerance)."""
     import jax.numpy as jnp
