@@ -153,10 +153,15 @@ def cmd_plots(args) -> int:
 def cmd_convert(args) -> int:
     import jax
 
-    from cvad_tpu.runtime.checkpoint import (CheckpointManager,
-                                             import_torch_family_d)
+    from cvad_tpu.runtime import checkpoint as ckpt
+    from cvad_tpu.runtime.checkpoint import CheckpointManager
 
-    variables = import_torch_family_d(args.torch_checkpoint)
+    importers = {"a": ckpt.import_torch_family_a,
+                 "b": ckpt.import_torch_family_b,
+                 "c": ckpt.import_torch_family_c,
+                 "d": ckpt.import_torch_family_d,
+                 "e": ckpt.import_torch_family_e}
+    variables = importers[args.family](args.torch_checkpoint)
     mgr = CheckpointManager(args.out)
     mgr.save("imported", variables, wait=True)
     n = sum(int(np.asarray(p).size)
@@ -211,6 +216,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("convert")
     c.add_argument("torch_checkpoint")
     c.add_argument("--out", default="converted_ckpt")
+    c.add_argument("--family", default="d", choices=("a", "b", "c", "d", "e"),
+                   help="which reference architecture the .pth belongs to")
     c.set_defaults(fn=cmd_convert)
     return p
 

@@ -388,6 +388,60 @@ def import_torch_family_a(src) -> Dict[str, Any]:
         np.asarray, {"params": params, "batch_stats": stats})
 
 
+# torch key prefix -> (flax module path, kind) for the bbox stand-in model
+# (``avenue_training_script_bbox.py:51-101``).  Feature flatten is
+# channel-major on both sides (torch ``view(B,-1)`` on (B,64,1,4,4) vs our
+# transpose-then-reshape), so dense weights apply without reindexing.
+_FAMILY_E_MAP = {
+    "encoder.0": ("enc_conv0/conv", "conv3d"),
+    "encoder.3": ("enc_conv3/conv", "conv3d"),
+    "causal_net.0": ("causal_0", "dense"),
+    "causal_net.2": ("causal_2", "dense"),
+    "classifier.0": ("cls_0", "dense"),
+    "classifier.3": ("cls_3", "dense"),
+}
+
+
+def import_torch_family_e(src) -> Dict[str, Any]:
+    """Reference bbox-viz ``CausalAnomalyDetector``
+    (``avenue_training_script_bbox.py:51-101``) state dict -> framework
+    variables for :class:`cvad_tpu.models.BBoxVizDetector`.
+
+    The reference ships no checkpoint for this architecture (its loader
+    falls back to random weights when the shipped family-D checkpoint's
+    module names don't match, ``:150-155``); this importer covers
+    user-trained state dicts.  `src` is a .pth path or an already-loaded
+    ``{key: ndarray}`` state dict.
+    """
+    sd = dict(src) if isinstance(src, Mapping) else load_torch_state_dict(src)
+    params: Dict[str, Any] = {}
+    for prefix, (flax_path, kind) in _FAMILY_E_MAP.items():
+        w = sd[f"{prefix}.weight"]
+        b = sd[f"{prefix}.bias"]
+        node = params
+        for part in flax_path.split("/"):
+            node = node.setdefault(part, {})
+        node["kernel"] = _conv3d_kernel(w) if kind == "conv3d" else _dense_kernel(w)
+        node["bias"] = b
+    return jax.tree_util.tree_map(np.asarray, {"params": params})
+
+
+def export_family_e_torch_state(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse conversion: framework family-E params -> torch-format state
+    dict (round-trip with the reference's loader formats)."""
+    params = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+    for prefix, (flax_path, kind) in _FAMILY_E_MAP.items():
+        node = params
+        for part in flax_path.split("/"):
+            node = node[part]
+        k = np.asarray(node["kernel"])
+        out[f"{prefix}.weight"] = (np.transpose(k, (4, 3, 0, 1, 2))
+                                   if kind == "conv3d" else np.transpose(k, (1, 0)))
+        out[f"{prefix}.bias"] = np.asarray(node["bias"])
+    return out
+
+
 def import_torch_generic(path: str, params_template: Mapping[str, Any],
                          rename: Optional[Mapping[str, str]] = None
                          ) -> Dict[str, Any]:
