@@ -282,12 +282,15 @@ def _is_frozen(path) -> bool:
 def stop_frozen_stem(params):
     """requires_grad=False semantics (apply_memory_efficient_training,
     causal_anomaly_detection.py:592-607): no gradient is COMPUTED for
-    conv1/bn1 at all.  This matters beyond the update math: with
-    clip_by_global_norm in the optax chain, live frozen grads would be
-    (a) wrong vs torch — clip_grad_norm_ only sees requires_grad
-    params — and (b) expensive: the stem backward (conv1 wgrad at
-    C_in=1, bn1, and the maxpool select-and-scatter) survived DCE just
-    to feed the norm, ~7 ms of a 30 ms step at 240x360 frames."""
+    conv1/bn1 at all.  This matters beyond the update math (which
+    optax.masked(set_to_zero) already handled): `_apply_updates`'s NaN-skip
+    guard takes `optax.global_norm(grads)` over the WHOLE grad tree, so the
+    frozen grads survived dead-code elimination just to feed that scalar —
+    the stem backward (conv1 wgrad at C_in=1, bn1 bwd, and the maxpool
+    select-and-scatter) cost ~14 ms of a 30 ms step at 240x360 frames.
+    Structurally-zero frozen grads make the guard's norm — like torch, where
+    no-grad params never have a .grad to inspect — a trainable-only norm,
+    and let XLA delete the stem backward entirely."""
     return jax.tree_util.tree_map_with_path(
         lambda path, v: jax.lax.stop_gradient(v) if _is_frozen(path) else v,
         params)

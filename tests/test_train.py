@@ -199,8 +199,9 @@ def test_family_a_stem_frozen(tmp_path):
 
 def test_family_a_frozen_stem_grads_are_zero():
     """requires_grad=False parity: no gradient is computed for conv1/bn1, so
-    clip_by_global_norm sees only trainable params (torch's clip_grad_norm_
-    skips no-grad params) and XLA dead-code-eliminates the stem backward."""
+    grad-norm consumers (the NaN-skip guard's optax.global_norm) see only
+    trainable params — torch never has a .grad on no-grad params — and XLA
+    dead-code-eliminates the stem backward."""
     import jax.numpy as jnp
 
     from cvad_tpu.config import FamilyAConfig
