@@ -9,6 +9,7 @@
   cvad diagnose   — training-history diagnosis (avenue_training_script2:474)
   cvad plots      — history dashboard (avenue_training_script1:228-291)
   cvad convert    — torch .pth <-> framework checkpoint conversion
+  cvad export     — AOT serving artifact (jax.export StableHLO + weights)
 
 Usage: ``python -m cvad_tpu.cli <command> [...]``.  Every hard-coded constant
 of the reference is a ``--set section.key=value`` override here.
@@ -170,6 +171,23 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Produce a self-contained serving artifact from a torch checkpoint:
+    one binary blob (StableHLO + weights, batch-polymorphic) that
+    ``load_scorer``/``ClipScoringService.from_exported`` runs with no model
+    code — the deployment story the reference lacks (it ships the .pth plus
+    the model class, ``avenue_training_script_bbox.py:104-155``)."""
+    from cvad_tpu.evaluation.serving import export_scorer
+    from cvad_tpu.runtime.checkpoint import import_torch_family_d
+
+    variables = import_torch_family_d(args.torch_checkpoint)
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    blob = export_scorer(variables, platforms=platforms)
+    Path(args.out).write_bytes(blob)
+    print(json.dumps({"out": args.out, "bytes": len(blob)}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cvad", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +237,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--family", default="d", choices=("a", "b", "c", "d", "e"),
                    help="which reference architecture the .pth belongs to")
     c.set_defaults(fn=cmd_convert)
+
+    x = sub.add_parser("export")
+    x.add_argument("torch_checkpoint")
+    x.add_argument("--out", default="scorer.jaxexport")
+    x.add_argument("--platforms", default=None,
+                   help="comma-separated lowering targets, e.g. tpu,cpu")
+    x.set_defaults(fn=cmd_export)
     return p
 
 

@@ -49,6 +49,12 @@ class ClipScoringService:
 
         return cls(make_family_d_score_fn(import_torch_family_d(path)), **kw)
 
+    @classmethod
+    def from_exported(cls, blob: bytes, **kw) -> "ClipScoringService":
+        """Serve an ahead-of-time :func:`export_scorer` artifact — no model
+        code or checkpoint import on the serving host."""
+        return cls(load_scorer(blob), **kw)
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -171,3 +177,54 @@ class BatchingServer:
                     None if res.graphs is None else res.graphs[offset:offset + k])
                 offset += k
                 p.event.set()
+
+
+# ---------------------------------------------------------------------------
+# Ahead-of-time export (deployment artifacts)
+# ---------------------------------------------------------------------------
+
+
+def export_scorer(variables, clip_shape=(8, 64, 64, 3), model=None,
+                  platforms: Optional[Sequence[str]] = None,
+                  batch_symbol: str = "b") -> bytes:
+    """Serialize the flagship scorer to a self-contained ``jax.export``
+    artifact (StableHLO + weights), shape-polymorphic over the batch axis.
+
+    The reference's deployment story is "ship the .pth and the model class"
+    (``avenue_training_script_bbox.py:104-155``); this produces a single
+    binary blob a serving host can run with no model code at all —
+    ``load_scorer(blob)`` returns a callable.  ``platforms`` (e.g.
+    ``("tpu", "cpu")``) bakes lowerings for multiple backends into one
+    artifact; default is the exporting machine's backend.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cvad_tpu.models import CausalAnomalyDetector
+
+    m = model or CausalAnomalyDetector()
+
+    def fwd(clips):
+        scores, adj, _ = m.apply(variables, clips, deterministic=True)
+        return scores.reshape(-1), adj
+
+    (b,) = jax.export.symbolic_shape(batch_symbol)
+    aval = jax.ShapeDtypeStruct((b,) + tuple(clip_shape), jnp.float32)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    return bytes(jax.export.export(jax.jit(fwd), **kw)(aval).serialize())
+
+
+def load_scorer(blob: bytes) -> Callable:
+    """Rehydrate an :func:`export_scorer` artifact into a score function
+    (``(N, T, H, W, C) float32 -> (scores, adjacency)`` numpy arrays) without
+    importing any model code."""
+    import jax
+    import jax.numpy as jnp
+
+    exported = jax.export.deserialize(bytearray(blob))
+
+    def score(batch: np.ndarray):
+        s, adj = exported.call(jnp.asarray(batch, jnp.float32))
+        return np.asarray(s), np.asarray(adj)
+
+    return score

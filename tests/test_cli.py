@@ -49,3 +49,26 @@ def test_cli_convert(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["params"] == 188_849
+
+
+def test_cli_export(tmp_path, capsys):
+    import os
+
+    import numpy as np
+
+    if not os.path.exists("/root/reference/best_improved_model.pth"):
+        pytest.skip("reference checkpoint absent")
+    dest = tmp_path / "scorer.jaxexport"
+    rc = main(["export", "/root/reference/best_improved_model.pth",
+               "--out", str(dest), "--platforms", "cpu"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bytes"] == dest.stat().st_size > 100_000
+    # the artifact scores clips with no model code or checkpoint import
+    from cvad_tpu.evaluation.serving import load_scorer
+
+    score = load_scorer(dest.read_bytes())
+    s, adj = score(np.random.default_rng(7).uniform(
+        0, 1, (3, 8, 64, 64, 3)).astype(np.float32))
+    assert s.shape == (3,) and adj.shape == (3, 16, 16)
+    assert np.isfinite(s).all()

@@ -155,3 +155,33 @@ def test_bulk_score_matches_per_batch(rng):
     # empty request contract
     s2, a2 = bulk(clips_u8[:0])
     assert s2.shape == (0,) and a2.shape == (0, 16, 16)
+
+
+def test_export_scorer_roundtrip(rng):
+    """AOT deployment artifact: export -> serialize -> load -> identical
+    scores, shape-polymorphic over batch (no model code on the load side)."""
+    import jax
+
+    from cvad_tpu.evaluation.serving import (ClipScoringService,
+                                             export_scorer, load_scorer)
+    from cvad_tpu.models import CausalAnomalyDetector
+
+    m = CausalAnomalyDetector()
+    x5 = np.random.default_rng(0).uniform(0, 1, (5, 8, 64, 64, 3)).astype(np.float32)
+    v = m.init(rng, x5[:1])
+
+    blob = export_scorer(v, platforms=("cpu",))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    score = load_scorer(blob)
+
+    ref_s, ref_adj, _ = m.apply(v, x5, deterministic=True)
+    s, adj = score(x5)
+    np.testing.assert_allclose(s, np.asarray(ref_s).reshape(-1), atol=1e-5)
+    np.testing.assert_allclose(adj, np.asarray(ref_adj), atol=1e-5)
+    # symbolic batch: a different N runs through the same artifact
+    s3, _ = score(x5[:3])
+    np.testing.assert_allclose(s3, s[:3], atol=1e-5)
+
+    svc = ClipScoringService.from_exported(blob, buckets=(4, 8))
+    res = svc.score(x5)
+    np.testing.assert_allclose(res.scores, s, atol=1e-5)
