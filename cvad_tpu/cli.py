@@ -177,12 +177,26 @@ def cmd_export(args) -> int:
     ``load_scorer``/``ClipScoringService.from_exported`` runs with no model
     code — the deployment story the reference lacks (it ships the .pth plus
     the model class, ``avenue_training_script_bbox.py:104-155``)."""
-    from cvad_tpu.evaluation.serving import export_scorer
-    from cvad_tpu.runtime.checkpoint import import_torch_family_d
+    from cvad_tpu.evaluation import serving
+    from cvad_tpu.runtime import checkpoint as ckpt
 
-    variables = import_torch_family_d(args.torch_checkpoint)
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
-    blob = export_scorer(variables, platforms=platforms)
+    if args.family == "a":
+        variables = ckpt.import_torch_family_a(args.torch_checkpoint)
+        blob = serving.export_family_a_scorer(variables, platforms=platforms)
+    elif args.family == "b":
+        variables, memory = ckpt.import_torch_family_b(args.torch_checkpoint)
+        blob = serving.export_family_b_scorer(variables, memory,
+                                              platforms=platforms)
+    elif args.family == "c":
+        variables = ckpt.import_torch_family_c(args.torch_checkpoint)
+        blob = serving.export_family_c_scorer(variables, platforms=platforms)
+    elif args.family == "e":
+        variables = ckpt.import_torch_family_e(args.torch_checkpoint)
+        blob = serving.export_family_e_scorer(variables, platforms=platforms)
+    else:
+        variables = ckpt.import_torch_family_d(args.torch_checkpoint)
+        blob = serving.export_scorer(variables, platforms=platforms)
     Path(args.out).write_bytes(blob)
     print(json.dumps({"out": args.out, "bytes": len(blob)}))
     return 0
@@ -240,6 +254,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     x = sub.add_parser("export")
     x.add_argument("torch_checkpoint")
+    x.add_argument("--family", default="d", choices=("a", "b", "c", "d", "e"),
+                   help="which reference architecture the .pth belongs to")
     x.add_argument("--out", default="scorer.jaxexport")
     x.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. tpu,cpu")

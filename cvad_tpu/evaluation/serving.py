@@ -35,9 +35,11 @@ class ClipScoringService:
     """Batched, bucket-padded scoring over a jitted model forward."""
 
     def __init__(self, score_fn: Callable[[np.ndarray], Tuple[np.ndarray, ...]],
-                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 clip_shape: Tuple[int, ...] = (8, 64, 64, 3)):
         self.score_fn = score_fn
         self.buckets = tuple(sorted(buckets))
+        self.clip_shape = tuple(clip_shape)  # for warmup; B/C serve (…, 1)
         self._lock = threading.Lock()
 
     @classmethod
@@ -89,9 +91,8 @@ class ClipScoringService:
 
     def warmup(self) -> None:
         """Compile every bucket once (cold-start elimination)."""
-        t, h, w, c = 8, 64, 64, 3
         for b in self.buckets:
-            self.score(np.zeros((b, t, h, w, c), np.float32))
+            self.score(np.zeros((b,) + self.clip_shape, np.float32))
 
 
 @dataclass
@@ -197,9 +198,6 @@ def export_scorer(variables, clip_shape=(8, 64, 64, 3), model=None,
     ``("tpu", "cpu")``) bakes lowerings for multiple backends into one
     artifact; default is the exporting machine's backend.
     """
-    import jax
-    import jax.numpy as jnp
-
     from cvad_tpu.models import CausalAnomalyDetector
 
     m = model or CausalAnomalyDetector()
@@ -208,6 +206,93 @@ def export_scorer(variables, clip_shape=(8, 64, 64, 3), model=None,
         scores, adj, _ = m.apply(variables, clips, deterministic=True)
         return scores.reshape(-1), adj
 
+    return _export_fwd(fwd, clip_shape, platforms, batch_symbol)
+
+
+def export_family_b_scorer(variables, memory, clip_shape=(8, 64, 64, 1),
+                           loss_cfg=None, model=None,
+                           platforms: Optional[Sequence[str]] = None,
+                           batch_symbol: str = "b") -> bytes:
+    """Family-B combined scorer (0.7 recon MSE + 0.3 memory distance,
+    ``causal_anomaly_detection1.py:552``) as an AOT artifact.  The trained
+    memory bank is baked in as a constant — scoring-time memory is frozen in
+    the reference too (the bank only updates during training)."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.config import LossConfig
+    from cvad_tpu.models import MemoryVideoAutoEncoder
+
+    m = model or MemoryVideoAutoEncoder()
+    w = loss_cfg or LossConfig()
+
+    def fwd(clips):
+        out = m.apply(variables, clips, memory, train=False)
+        recon_err = jnp.mean((out["reconstructed"] - clips) ** 2,
+                             axis=(1, 2, 3, 4))
+        return (w.b_score_recon * recon_err
+                + w.b_score_memory * out["anomaly_score"])
+
+    return _export_fwd(fwd, clip_shape, platforms, batch_symbol)
+
+
+def export_family_a_scorer(variables, clip_shape=(16, 240, 360, 1),
+                           model=None,
+                           platforms: Optional[Sequence[str]] = None,
+                           batch_symbol: str = "b") -> bytes:
+    """Family-A causal-pipeline scorer as an AOT artifact.
+
+    The deterministic eval forward (``causal_anomaly_detection.py:796-835``):
+    returns the blended anomaly scores plus the per-clip detections and their
+    validity mask, so a serving host can drive bbox overlays with no model
+    code.  Default ``clip_shape`` matches the reference's 16-frame 240x360
+    grayscale clips; pass the shape your ``FamilyAConfig`` was trained at.
+    """
+    from cvad_tpu.models import CausalPipelineDetector
+
+    m = model or CausalPipelineDetector()
+
+    def fwd(clips):
+        out = m.apply(variables, clips, deterministic=True)
+        return (out["anomaly_scores"].reshape(-1), out["detections"],
+                out["detection_mask"])
+
+    return _export_fwd(fwd, clip_shape, platforms, batch_symbol)
+
+
+def export_family_e_scorer(variables, clip_shape=(8, 64, 64, 3), model=None,
+                           platforms: Optional[Sequence[str]] = None,
+                           batch_symbol: str = "b") -> bytes:
+    """Family-E (bbox-viz stand-in) scorer as an AOT artifact: returns
+    ``(scores, adjacency)`` like the flagship family-D blob."""
+    from cvad_tpu.models import BBoxVizDetector
+
+    m = model or BBoxVizDetector()
+
+    def fwd(clips):
+        scores, adj, _ = m.apply(variables, clips, deterministic=True)
+        return scores.reshape(-1), adj
+
+    return _export_fwd(fwd, clip_shape, platforms, batch_symbol)
+
+
+def export_family_c_scorer(variables, clip_shape=(8, 64, 64, 1), model=None,
+                           platforms: Optional[Sequence[str]] = None,
+                           batch_symbol: str = "b") -> bytes:
+    """Family-C (mini 3D-CNN) sigmoid scorer as an AOT artifact."""
+    from cvad_tpu.models import Simple3DCNNDetector
+
+    m = model or Simple3DCNNDetector()
+
+    def fwd(clips):
+        return m.apply(variables, clips).reshape(-1)
+
+    return _export_fwd(fwd, clip_shape, platforms, batch_symbol)
+
+
+def _export_fwd(fwd: Callable, clip_shape, platforms, batch_symbol) -> bytes:
+    import jax
+    import jax.numpy as jnp
+
     (b,) = jax.export.symbolic_shape(batch_symbol)
     aval = jax.ShapeDtypeStruct((b,) + tuple(clip_shape), jnp.float32)
     kw = {"platforms": tuple(platforms)} if platforms else {}
@@ -215,16 +300,18 @@ def export_scorer(variables, clip_shape=(8, 64, 64, 3), model=None,
 
 
 def load_scorer(blob: bytes) -> Callable:
-    """Rehydrate an :func:`export_scorer` artifact into a score function
-    (``(N, T, H, W, C) float32 -> (scores, adjacency)`` numpy arrays) without
-    importing any model code."""
+    """Rehydrate an exported artifact into a score function without importing
+    any model code.  Family-D blobs return ``(scores, adjacency)`` numpy
+    arrays; family-B/C blobs return the scores array."""
     import jax
     import jax.numpy as jnp
 
     exported = jax.export.deserialize(bytearray(blob))
 
     def score(batch: np.ndarray):
-        s, adj = exported.call(jnp.asarray(batch, jnp.float32))
-        return np.asarray(s), np.asarray(adj)
+        out = exported.call(jnp.asarray(batch, jnp.float32))
+        if isinstance(out, (tuple, list)):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
 
     return score

@@ -77,7 +77,11 @@ def memory_min_cosine_distance(query: jnp.ndarray, memory: jnp.ndarray,
     if use_pallas is False:
         return _memory_xla(q, mem, fill_f)
     # auto: select at lowering time — the fused kernel on TPU, XLA elsewhere
-    # (works inside jit regardless of which backends are registered)
+    # (works inside jit regardless of which backends are registered).
+    # Symbolic dims (jax.export shape polymorphism) can't drive the kernel's
+    # static padding math, so AOT exports take the XLA expression.
+    if not all(isinstance(s, int) for s in tuple(q.shape) + tuple(mem.shape)):
+        return _memory_xla(q, mem, fill_f)
     return jax.lax.platform_dependent(q, mem, fill_f, tpu=_MEMORY_PALLAS,
                                       default=_memory_xla)
 

@@ -72,3 +72,68 @@ def test_cli_export(tmp_path, capsys):
         0, 1, (3, 8, 64, 64, 3)).astype(np.float32))
     assert s.shape == (3,) and adj.shape == (3, 16, 16)
     assert np.isfinite(s).all()
+
+
+def test_cli_export_family_c(tmp_path, capsys):
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    from tests.conftest import load_reference_module
+
+    try:
+        ref = load_reference_module("minicausal_vad_complete3")
+    except Exception:
+        pytest.skip("reference module absent")
+    torch.manual_seed(0)
+    tm = ref.SimpleVideoAnomalyDetector()
+    tm.eval()
+    ckpt = tmp_path / "c.pth"
+    torch.save(tm.state_dict(), ckpt)
+
+    dest = tmp_path / "c.jaxexport"
+    rc = main(["export", str(ckpt), "--family", "c",
+               "--out", str(dest), "--platforms", "cpu"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bytes"] == dest.stat().st_size > 10_000
+
+    from cvad_tpu.evaluation.serving import load_scorer
+
+    x = np.random.default_rng(3).uniform(0, 1, (5, 8, 64, 64, 1)).astype(np.float32)
+    s = load_scorer(dest.read_bytes())(x)
+    with torch.no_grad():
+        ts = tm(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
+    np.testing.assert_allclose(s, ts.reshape(-1), atol=3e-5)
+
+
+def test_cli_export_family_e(tmp_path, capsys):
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    from tests.conftest import load_reference_module
+
+    try:
+        ref = load_reference_module("avenue_training_script_bbox")
+    except Exception:
+        pytest.skip("reference module absent")
+    torch.manual_seed(1)
+    tm = ref.CausalAnomalyDetector()
+    tm.eval()
+    ckpt = tmp_path / "e.pth"
+    torch.save(tm.state_dict(), ckpt)
+
+    dest = tmp_path / "e.jaxexport"
+    rc = main(["export", str(ckpt), "--family", "e",
+               "--out", str(dest), "--platforms", "cpu"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bytes"] == dest.stat().st_size > 10_000
+
+    from cvad_tpu.evaluation.serving import load_scorer
+
+    x = np.random.default_rng(8).uniform(0, 1, (5, 8, 64, 64, 3)).astype(np.float32)
+    s, adj = load_scorer(dest.read_bytes())(x)
+    with torch.no_grad():
+        ts, tadj, _ = tm(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    np.testing.assert_allclose(s, ts.numpy().reshape(-1), atol=3e-4)
+    np.testing.assert_allclose(adj, tadj.numpy(), atol=3e-4)

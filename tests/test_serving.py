@@ -185,3 +185,72 @@ def test_export_scorer_roundtrip(rng):
     svc = ClipScoringService.from_exported(blob, buckets=(4, 8))
     res = svc.score(x5)
     np.testing.assert_allclose(res.scores, s, atol=1e-5)
+
+
+def test_export_family_b_and_c_roundtrip(rng):
+    """B (memory baked in as constant) and C artifacts reproduce the live
+    scorers through serialize -> deserialize on a symbolic batch."""
+    import jax
+
+    from cvad_tpu.config import FamilyBConfig, FamilyCConfig
+    from cvad_tpu.evaluation.scoring import make_family_b_score_fn
+    from cvad_tpu.evaluation.serving import (export_family_b_scorer,
+                                             export_family_c_scorer,
+                                             load_scorer)
+    from cvad_tpu.models import build_model
+    from cvad_tpu.models.family_b import init_memory, update_memory
+
+    x = np.random.default_rng(4).uniform(0, 1, (3, 8, 64, 64, 1)).astype(np.float32)
+
+    bcfg = FamilyBConfig()
+    mb = build_model(bcfg)
+    mem = init_memory(bcfg.memory_size, bcfg.latent_dim)
+    vb = mb.init(rng, x[:1], mem)
+    # half-filled bank so the memory term is active
+    feats = np.random.default_rng(5).normal(
+        size=(bcfg.memory_size // 2, bcfg.latent_dim)).astype(np.float32)
+    mem = update_memory(mem, feats)
+    blob_b = export_family_b_scorer(vb, mem, platforms=("cpu",))
+    live = make_family_b_score_fn(vb, mem)(x)
+    np.testing.assert_allclose(load_scorer(blob_b)(x),
+                               np.asarray(live).reshape(-1), atol=1e-5)
+
+    ccfg = FamilyCConfig()
+    mc = build_model(ccfg)
+    vc = mc.init(rng, x[:1])
+    blob_c = export_family_c_scorer(vc, platforms=("cpu",))
+    ref = np.asarray(mc.apply(vc, x)).reshape(-1)
+    np.testing.assert_allclose(load_scorer(blob_c)(x), ref, atol=1e-5)
+
+
+def test_export_family_a_and_e_roundtrip(rng):
+    """A (masked pipeline; small frames) and E artifacts reproduce the live
+    deterministic forwards through serialize -> deserialize."""
+    from cvad_tpu.config import FamilyAConfig, FamilyEConfig
+    from cvad_tpu.evaluation.serving import (export_family_a_scorer,
+                                             export_family_e_scorer,
+                                             load_scorer)
+    from cvad_tpu.models import build_model
+
+    acfg = FamilyAConfig(frame_hw=(64, 64), backbone_pool=(2, 2))
+    ma = build_model(acfg)
+    xa = np.random.default_rng(6).uniform(0, 1, (3, 8, 64, 64, 1)).astype(np.float32)
+    va = ma.init(rng, xa[:1])
+    blob_a = export_family_a_scorer(va, clip_shape=xa.shape[1:], model=ma,
+                                    platforms=("cpu",))
+    s, boxes, mask = load_scorer(blob_a)(xa)
+    out = ma.apply(va, xa, deterministic=True)
+    np.testing.assert_allclose(s, np.asarray(out["anomaly_scores"]).reshape(-1),
+                               atol=1e-5)
+    np.testing.assert_allclose(boxes, np.asarray(out["detections"]), atol=1e-5)
+    assert (mask == np.asarray(out["detection_mask"])).all()
+
+    ecfg = FamilyEConfig()
+    me = build_model(ecfg)
+    xe = np.random.default_rng(7).uniform(0, 1, (3, 8, 64, 64, 3)).astype(np.float32)
+    ve = me.init(rng, xe[:1])
+    blob_e = export_family_e_scorer(ve, model=me, platforms=("cpu",))
+    se, adje = load_scorer(blob_e)(xe)
+    rs, radj, _ = me.apply(ve, xe, deterministic=True)
+    np.testing.assert_allclose(se, np.asarray(rs).reshape(-1), atol=1e-5)
+    np.testing.assert_allclose(adje, np.asarray(radj), atol=1e-5)
