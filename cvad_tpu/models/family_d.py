@@ -82,6 +82,10 @@ class CompactFeatureExtractor(nn.Module):
             # dimension_numbers; the only layout op left is the tiny final
             # transpose before the pool.  Exact same math/params as the
             # ndhwc stack (tests/test_models.py::test_folded_stack_exact).
+            # NOT fuse_relu=True: folded-domain relu measured 1740 vs
+            # 1226 us/step (B=256) — layout assignment reacts by
+            # materializing the relu mask + larger copies.  See layers.py
+            # _TFoldConv.fuse_relu for the (exact) variant and CLAUDE.md.
             x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
                                     mode="tfold", unfold=False,
                                     name="conv3d_1")(x))

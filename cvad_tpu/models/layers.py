@@ -100,6 +100,12 @@ class _TFoldConv(nn.Module):
     # spatial stride (1 or 2): family-D conv1 is (1,2,2); family-C's
     # stride-1 conv stack folds with spatial stride 1
     spatial_stride: int = 2
+    # apply bias+relu on the FOLDED (…, T*C) matmul output instead of the
+    # unfolded 5-D tensor (identical math — relu is elementwise and commutes
+    # with the reshape).  Keeps the relu-backward mask in the layout the
+    # folded weight-gradient consumes, so layout assignment has no reason to
+    # insert a (B,H',W',T,C) relayout copy between relu-bwd and wgrad
+    fuse_relu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -116,14 +122,23 @@ class _TFoldConv(nn.Module):
         g = fold_group_size(t, cout)
         wd = fold_kernel(kernel, g)
         s = self.spatial_stride
+
+        def post(y):  # folded matmul output (…, g*cout)
+            if self.fuse_relu:
+                return jax.nn.relu(y + jnp.tile(bias, y.shape[-1] // cout))
+            return y
+
+        def tail(y):  # unfolded output with cout as the last axis
+            return y if self.fuse_relu else y + bias
+
         if g == t:
             xf = fold_input(x)
-            y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas,
-                                   stride=s)
+            y = post(tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas,
+                                        stride=s))
             y = y.reshape(b, h // s, w // s, t, cout)
             if not self.unfold:
-                return y + bias
-            return jnp.transpose(y, (0, 3, 1, 2, 4)) + bias
+                return tail(y)
+            return tail(jnp.transpose(y, (0, 3, 1, 2, 4)))
         # long windows: fold T group-wise (windows of g+2 overlapping taps)
         # so the MAC inflation stays (g+2)/3 instead of growing with T
         n = t // g
@@ -132,13 +147,14 @@ class _TFoldConv(nn.Module):
                                                axis=1) for i in range(n)], 1)
         xf = jnp.transpose(wins, (0, 1, 3, 4, 2, 5)).reshape(
             b * n, h + 2, w + 2, (g + 2) * cin)
-        y = tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas, stride=s)
+        y = post(tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas,
+                                    stride=s))
         y = y.reshape(b, n, h // s, w // s, g, cout)
         if not self.unfold:
             y = jnp.transpose(y, (0, 2, 3, 1, 4, 5))  # (b,h',w',n,g,c)
-            return y.reshape(b, h // s, w // s, t, cout) + bias
+            return tail(y.reshape(b, h // s, w // s, t, cout))
         y = jnp.transpose(y, (0, 1, 4, 2, 3, 5))      # (b,n,g,h',w',c)
-        return y.reshape(b, t, h // s, w // s, cout) + bias
+        return tail(y.reshape(b, t, h // s, w // s, cout))
 
 
 class _S2DConv(nn.Module):
@@ -294,6 +310,11 @@ class Conv3dTorch(nn.Module):
     # with mode='tfold': emit (B, H', W', T, C) instead of transposing back
     # to NDHWC (consumers use layout='hwtc')
     unfold: bool = True
+    # fold the trailing relu into the conv: on the tfold path the bias+relu
+    # run in the folded (…, T*C) domain (_TFoldConv.fuse_relu — same math,
+    # avoids a relu-bwd relayout copy); every other path applies relu to the
+    # output.  Callers setting this must NOT apply relu again.
+    fuse_relu: bool = False
 
     def _tpair_applicable(self, x) -> bool:
         return (self.mode == "tpair" and self.kernel == (3, 3, 3)
@@ -304,9 +325,10 @@ class Conv3dTorch(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from cvad_tpu.ops.pallas_conv import fold_group_size
 
+        act = jax.nn.relu if self.fuse_relu else (lambda v: v)
         if self._tpair_applicable(x):
-            return _TPairConv(self.features, dtype=self.dtype,
-                              kernel_init=self.kernel_init, name="conv")(x)
+            return act(_TPairConv(self.features, dtype=self.dtype,
+                                  kernel_init=self.kernel_init, name="conv")(x))
         if (self.mode in ("tfold", "tfold_pallas")
                 and self.kernel == (3, 3, 3)
                 and self.stride in ((1, 2, 2), (1, 1, 1))
@@ -324,32 +346,35 @@ class Conv3dTorch(nn.Module):
                               use_pallas=(None if self.mode == "tfold_pallas"
                                           else False),
                               spatial_stride=self.stride[1],
+                              fuse_relu=self.fuse_relu,
                               name="conv")(x)
         if (self.mode == "s2d" and self.kernel == (3, 3, 3)
                 and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)
                 and self.use_bias and x.shape[2] % 2 == 0
                 and x.shape[3] % 2 == 0):
-            return _S2DConv(self.features, dtype=self.dtype,
-                            kernel_init=self.kernel_init, name="conv")(x)
+            return act(_S2DConv(self.features, dtype=self.dtype,
+                                kernel_init=self.kernel_init, name="conv")(x))
         if self.mode == "cpad" and x.shape[-1] < 8:
             # zero-pad input channels to 8 so XLA's conv lowering gets a
             # im2col contraction with full sublane occupancy (C=3 convs fall
             # off the fast MXU path); exact same math — padded kernel rows
             # multiply zero activations
-            return _CPadConv(self.features, kernel=self.kernel,
-                             stride=self.stride, padding=self.padding,
-                             dtype=self.dtype, kernel_init=self.kernel_init,
-                             name="conv")(x)
+            return act(_CPadConv(self.features, kernel=self.kernel,
+                                 stride=self.stride, padding=self.padding,
+                                 dtype=self.dtype,
+                                 kernel_init=self.kernel_init,
+                                 name="conv")(x))
         if self.layout == "hwtc":
-            return _HWTCConv(self.features, kernel=self.kernel,
-                             stride=self.stride, padding=self.padding,
-                             use_bias=self.use_bias, dtype=self.dtype,
-                             kernel_init=self.kernel_init, name="conv")(x)
+            return act(_HWTCConv(self.features, kernel=self.kernel,
+                                 stride=self.stride, padding=self.padding,
+                                 use_bias=self.use_bias, dtype=self.dtype,
+                                 kernel_init=self.kernel_init,
+                                 name="conv")(x))
         pad = [(p, p) for p in self.padding]
         kw = {}
         if self.kernel_init is not None:
             kw["kernel_init"] = self.kernel_init
-        return nn.Conv(
+        return act(nn.Conv(
             features=self.features,
             kernel_size=self.kernel,
             strides=self.stride,
@@ -358,7 +383,7 @@ class Conv3dTorch(nn.Module):
             dtype=self.dtype,
             name="conv",
             **kw,
-        )(x)
+        )(x))
 
 
 class ConvTranspose3dTorch(nn.Module):

@@ -324,3 +324,25 @@ def test_family_c_tfold_exact(rng):
     y1 = m1.apply(v, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tfold_fuse_relu_exact(rng):
+    """`fuse_relu=True` (bias+relu inside the folded (…, T*C) domain and on
+    every fallthrough path) equals relu(conv(x)) exactly — the flag only
+    moves the elementwise tail, never the math.  Measured SLOWER than the
+    outer relu in the production family-D step (1740 vs 1226 us/step at
+    B=256 — layout assignment materializes the relu mask), so nothing
+    enables it in production; the flag + this test preserve the variant."""
+    from cvad_tpu.models.layers import Conv3dTorch
+
+    x = _clips((2, 8, 16, 16, 3), seed=9)
+    for mode, kw in (("tfold", {"unfold": False}), ("tfold", {}),
+                     ("native", {})):
+        plain = Conv3dTorch(16, stride=(1, 2, 2), mode=mode, **kw)
+        fused = Conv3dTorch(16, stride=(1, 2, 2), mode=mode, fuse_relu=True,
+                            **kw)
+        params = plain.init(rng, x)
+        y0 = jax.nn.relu(plain.apply(params, x))
+        y1 = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-6, atol=2e-6)
