@@ -69,7 +69,7 @@ class CompactFeatureExtractor(nn.Module):
         stack, conv1_mode = _resolve_lowering(self.cfg)
         from cvad_tpu.models.layers import _useful_fold
 
-        folded = (stack == "folded"
+        folded = (stack in ("folded", "folded2", "folded3")
                   and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
                   # whole-T fold at T=8; group-wise fold (windows of g=8)
                   # for long T (see layers._TFoldConv) — inflation pinned
@@ -86,8 +86,10 @@ class CompactFeatureExtractor(nn.Module):
             # 1226 us/step (B=256) — layout assignment reacts by
             # materializing the relu mask + larger copies.  See layers.py
             # _TFoldConv.fuse_relu for the (exact) variant and CLAUDE.md.
+            c1_mode = {"folded2": "tfold2", "folded3": "tfold3"}.get(stack,
+                                                                     "tfold")
             x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
-                                    mode="tfold", unfold=False,
+                                    mode=c1_mode, unfold=False,
                                     name="conv3d_1")(x))
             x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
                                     layout="hwtc", name="conv3d_2")(x))

@@ -106,11 +106,22 @@ class _TFoldConv(nn.Module):
     # folded weight-gradient consumes, so layout assignment has no reason to
     # insert a (B,H',W',T,C) relayout copy between relu-bwd and wgrad
     fuse_relu: bool = False
+    # 'full' (default): halo fold — pre-padded (H+2, W+2, (T+2)*C) input,
+    # VALID conv.  'spatial': spatially padded (H+2, W+2, T*C) input with
+    # edge-clipped kernel bands carrying the T zero-pad — same pad-then-fold
+    # graph shape, 20% fewer MACs.  'none': unpadded (H, W, T*C) input (a
+    # pure transpose the producer fusion emits), spatial halo via the conv's
+    # own padding.  All exact; whole-T fold only — the group-wise path
+    # needs the cross-group halo.
+    halo: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from cvad_tpu.ops.pallas_conv import (fold_group_size, fold_input,
-                                              fold_kernel, tfold_conv1_matmul)
+                                              fold_input_nohalo,
+                                              fold_input_spatial, fold_kernel,
+                                              fold_kernel_nohalo,
+                                              tfold_conv1_matmul)
 
         cin, cout = x.shape[-1], self.features
         b, t, h, w, _ = x.shape
@@ -120,7 +131,6 @@ class _TFoldConv(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         g = fold_group_size(t, cout)
-        wd = fold_kernel(kernel, g)
         s = self.spatial_stride
 
         def post(y):  # folded matmul output (…, g*cout)
@@ -132,15 +142,26 @@ class _TFoldConv(nn.Module):
             return y if self.fuse_relu else y + bias
 
         if g == t:
-            xf = fold_input(x)
-            y = post(tfold_conv1_matmul(xf, wd, use_pallas=self.use_pallas,
-                                        stride=s))
+            if self.halo == "full":
+                y = tfold_conv1_matmul(fold_input(x), fold_kernel(kernel, g),
+                                       use_pallas=self.use_pallas, stride=s)
+            elif self.halo == "spatial":
+                y = tfold_conv1_matmul(fold_input_spatial(x),
+                                       fold_kernel_nohalo(kernel, g),
+                                       use_pallas=False, stride=s)
+            else:  # 'none'
+                y = tfold_conv1_matmul(fold_input_nohalo(x),
+                                       fold_kernel_nohalo(kernel, g),
+                                       use_pallas=False, stride=s,
+                                       padding=((1, 1), (1, 1)))
+            y = post(y)
             y = y.reshape(b, h // s, w // s, t, cout)
             if not self.unfold:
                 return tail(y)
             return tail(jnp.transpose(y, (0, 3, 1, 2, 4)))
         # long windows: fold T group-wise (windows of g+2 overlapping taps)
         # so the MAC inflation stays (g+2)/3 instead of growing with T
+        wd = fold_kernel(kernel, g)
         n = t // g
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         wins = jnp.stack([jax.lax.slice_in_dim(xp, i * g, i * g + g + 2,
@@ -329,7 +350,7 @@ class Conv3dTorch(nn.Module):
         if self._tpair_applicable(x):
             return act(_TPairConv(self.features, dtype=self.dtype,
                                   kernel_init=self.kernel_init, name="conv")(x))
-        if (self.mode in ("tfold", "tfold_pallas")
+        if (self.mode in ("tfold", "tfold2", "tfold3", "tfold_pallas")
                 and self.kernel == (3, 3, 3)
                 and self.stride in ((1, 2, 2), (1, 1, 1))
                 and self.padding == (1, 1, 1)
@@ -347,6 +368,9 @@ class Conv3dTorch(nn.Module):
                                           else False),
                               spatial_stride=self.stride[1],
                               fuse_relu=self.fuse_relu,
+                              halo={"tfold2": "none",
+                                    "tfold3": "spatial"}.get(self.mode,
+                                                             "full"),
                               name="conv")(x)
         if (self.mode == "s2d" and self.kernel == (3, 3, 3)
                 and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)

@@ -75,12 +75,61 @@ def fold_kernel(kernel: jnp.ndarray, t: int) -> jnp.ndarray:
     return wd
 
 
-def _xla_folded(xf: jnp.ndarray, wd: jnp.ndarray,
-                stride: int = 2) -> jnp.ndarray:
-    """Reference lowering: one stride-(s,s) VALID 2-D conv."""
+def fold_input_nohalo(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> folded, UNPADDED (B, H, W, T*C).
+
+    Halo-free companion to :func:`fold_input`: a pure transpose+reshape the
+    producer fusion can emit directly — no 130 MB pad materialization.  The
+    T zero-pad semantics move into the edge-clipped kernel bands
+    (:func:`fold_kernel_nohalo`) and the spatial halo into the conv's own
+    padding config.
+    """
+    b, t, h, w, c = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+
+
+def fold_input_spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> folded, spatially padded (B, H+2, W+2, T*C).
+
+    Middle ground: same pad-then-fold graph shape as :func:`fold_input`
+    (the pad op is still the relayout producer, so XLA's downstream
+    fusion/layout choices see the familiar structure) but WITHOUT the T
+    halo — the T zero-pad lives in the edge-clipped kernel bands
+    (:func:`fold_kernel_nohalo`), shrinking both the pad (10/8 less data)
+    and the contraction (270 -> 216 for T=8, C=3).
+    """
+    b, t, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.transpose(xp, (0, 2, 3, 1, 4)).reshape(b, h + 2, w + 2, t * c)
+
+
+def fold_kernel_nohalo(kernel: jnp.ndarray, t: int) -> jnp.ndarray:
+    """(3, 3, 3, C, O) -> edge-clipped block-banded dense (3, 3, T*C, T*O).
+
+    Output column block t carries T-tap kt of the real kernel at folded rows
+    [(t-1+kt)*C, (t+kt)*C) when that source frame exists; taps falling off
+    either T edge are simply absent (all-zero rows), which IS the conv's
+    zero-padding in T.  Contraction length 9*T*C (=216 for T=8, C=3) vs the
+    halo fold's 9*(T+2)*C (=270): 20% fewer MACs for the same outputs.
+    """
+    _, _, _, cin, cout = kernel.shape
+    wd = jnp.zeros((3, 3, t * cin, t * cout), kernel.dtype)
+    for ti in range(t):
+        for kt in range(3):
+            src = ti - 1 + kt
+            if 0 <= src < t:
+                wd = wd.at[:, :, src * cin:(src + 1) * cin,
+                           ti * cout:(ti + 1) * cout].set(kernel[kt])
+    return wd
+
+
+def _xla_folded(xf: jnp.ndarray, wd: jnp.ndarray, stride: int = 2,
+                padding="VALID") -> jnp.ndarray:
+    """Reference lowering: one stride-(s,s) 2-D conv (VALID over pre-padded
+    input for the halo fold; explicit ((1,1),(1,1)) for the halo-free one)."""
     dn = jax.lax.conv_dimension_numbers(xf.shape, wd.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(xf, wd, (stride, stride), "VALID",
+    return jax.lax.conv_general_dilated(xf, wd, (stride, stride), padding,
                                         dimension_numbers=dn)
 
 
@@ -171,7 +220,8 @@ _INTERP = _make_custom(True)
 def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
                        use_pallas: Optional[bool] = None,
                        interpret: bool = False,
-                       stride: int = 2) -> jnp.ndarray:
+                       stride: int = 2,
+                       padding="VALID") -> jnp.ndarray:
     """Folded conv core: xf (B, H+2, W+2, (T+2)*C) x wd (3, 3, (T+2)*C, T*O)
     -> (B, H/s, W/s, T*O) for spatial stride s in {1, 2} (family-D conv1 is
     s=2; the family-C stride-1 conv stack folds with s=1).  Bias/relu stay
@@ -190,9 +240,9 @@ def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
     lowering existed.  `use_pallas=True` forces the kernel (compiles in
     interpret mode everywhere; raises the Mosaic error on real TPUs) and
     exists for tests and for future Mosaic releases."""
-    if stride == 2:
+    if stride == 2 and padding == "VALID":
         if interpret:
             return _INTERP(xf, wd)
         if use_pallas is True:
             return _PALLAS(xf, wd)
-    return _xla_folded(xf, wd, stride)
+    return _xla_folded(xf, wd, stride, padding)

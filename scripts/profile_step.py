@@ -33,7 +33,8 @@ def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
     fam = os.environ.get("CVAD_PROF_PRESET", "family_d")
     cfg = preset(fam)
     if fam == "family_d":
-        model_kw = ({"conv_stack": "folded"} if mode == "folded"
+        model_kw = ({"conv_stack": mode}
+                    if mode in ("folded", "folded2", "folded3")
                     else {"conv_stack": "ndhwc", "conv1_mode": mode})
         cfg = cfg.replace(model=cfg.model.replace(**model_kw))
     cfg = cfg.replace(

@@ -145,7 +145,8 @@ def test_registry_builds_all():
         assert m is not None
 
 
-@pytest.mark.parametrize("mode", ["tfold", "tpair", "s2d", "cpad"])
+@pytest.mark.parametrize("mode", ["tfold", "tfold2", "tfold3", "tpair",
+                                  "s2d", "cpad"])
 def test_conv1_mode_exact(rng, mode):
     """Every conv1 relowering is the same function as the native conv: same
     parameter tree, same forward, same gradients (up to f32 accumulation
