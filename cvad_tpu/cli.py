@@ -202,6 +202,33 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the HTTP scoring endpoint (``evaluation/http_service.py``):
+    bucket-padded batched inference with dynamic request coalescing, over
+    either a torch checkpoint or an AOT ``cvad export`` blob.  The
+    reference's only inference path is an in-process per-clip loop
+    (``avenue_training_script_bbox.py:328-357``)."""
+    from cvad_tpu.evaluation.http_service import (ScoringHTTPServer,
+                                                  service_from_path)
+
+    svc = service_from_path(
+        args.model, family=args.family,
+        buckets=tuple(int(b) for b in args.buckets.split(",")))
+    srv = ScoringHTTPServer(svc, host=args.host, port=args.port,
+                            max_wait_ms=args.max_wait_ms)
+    if args.warmup:
+        svc.warmup()
+    print(json.dumps({"host": srv.host, "port": srv.port,
+                      "buckets": list(svc.buckets)}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cvad", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -260,6 +287,19 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. tpu,cpu")
     x.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser("serve", help="HTTP scoring endpoint")
+    sv.add_argument("model", help=".pth checkpoint or .jaxexport blob")
+    sv.add_argument("--family", default="d", choices=("a", "b", "c", "d", "e"))
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8700,
+                    help="0 binds an ephemeral port (printed at startup)")
+    sv.add_argument("--buckets", default="1,8,32,128")
+    sv.add_argument("--max-wait-ms", type=float, default=2.0,
+                    dest="max_wait_ms")
+    sv.add_argument("--warmup", action="store_true",
+                    help="compile every bucket before accepting traffic")
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,174 @@
+"""Stdlib HTTP front-end for the clip-scoring service.
+
+The reference has no serving story at all — its inference is an in-process
+one-clip-at-a-time loop (``avenue_training_script_bbox.py:328-357``).  This
+module exposes :class:`~cvad_tpu.evaluation.serving.ClipScoringService`
+(bucket-padded batching, one compiled program per bucket) behind a plain
+HTTP endpoint, with the dynamic-batching ``BatchingServer`` coalescing
+concurrent requests into single device batches.  Zero dependencies beyond
+the standard library:
+
+- ``GET  /healthz`` -> ``{"ok": true, "buckets": [...], "clip_shape": [...]}``
+- ``POST /score``   -> scores (and graphs, when the model emits them)
+
+``POST /score`` accepts either
+
+- ``application/octet-stream``: an ``.npz`` payload (``np.savez``) with a
+  ``clips`` array of shape (N, T, H, W, C) float32, or a raw ``.npy`` array;
+- ``application/json``: ``{"clips": [[...]]}`` nested lists (small
+  payloads / debugging).
+
+and returns JSON ``{"scores": [...], "graphs": [[...]] | null, "n": N}``.
+
+Start from the CLI::
+
+    cvad serve best_improved_model.pth --family d --port 8700
+    cvad serve scorer.jaxexport --port 8700          # AOT blob, no model code
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from cvad_tpu.evaluation.serving import (BatchingServer, ClipScoringService,
+                                         load_scorer)
+
+_FAMILY_CLIP_SHAPES = {
+    "a": (16, 240, 360, 1),
+    "b": (8, 64, 64, 1),
+    "c": (8, 64, 64, 1),
+    "d": (8, 64, 64, 3),
+    "e": (8, 64, 64, 3),
+}
+
+
+def service_from_path(path: str, family: str = "d",
+                      buckets=(1, 8, 32, 128)) -> ClipScoringService:
+    """Build a scoring service from either a torch ``.pth`` checkpoint or an
+    AOT ``.jaxexport`` blob (sniffed by content, not extension)."""
+    blob = open(path, "rb").read()
+    clip_shape = _FAMILY_CLIP_SHAPES[family]
+    if _is_jax_export(blob):
+        return ClipScoringService(load_scorer(blob), buckets=buckets,
+                                  clip_shape=clip_shape)
+    from cvad_tpu.evaluation import scoring
+    from cvad_tpu.runtime import checkpoint as ckpt
+
+    if family == "b":
+        variables, memory = ckpt.import_torch_family_b(path)
+        fn = scoring.make_family_b_score_fn(variables, memory)
+        return ClipScoringService(lambda x: np.asarray(fn(x)).reshape(-1),
+                                  buckets=buckets, clip_shape=clip_shape)
+    if family == "d":
+        return ClipScoringService(
+            scoring.make_family_d_score_fn(ckpt.import_torch_family_d(path)),
+            buckets=buckets, clip_shape=clip_shape)
+    raise ValueError(f"no direct-checkpoint serving path for family "
+                     f"{family!r}; run 'cvad export --family {family}' and "
+                     f"serve the blob")
+
+
+def _is_jax_export(blob: bytes) -> bool:
+    # torch .pth files are zip archives ('PK') or legacy pickles (0x80);
+    # jax.export blobs are flatbuffer-framed StableHLO (neither marker)
+    return not (blob[:2] == b"PK" or blob[:1] == b"\x80")
+
+
+def _parse_clips(body: bytes, content_type: str) -> np.ndarray:
+    if content_type.startswith("application/json"):
+        clips = np.asarray(json.loads(body.decode())["clips"], np.float32)
+    else:
+        f = np.load(io.BytesIO(body), allow_pickle=False)
+        clips = (np.asarray(f["clips"], np.float32)
+                 if hasattr(f, "files") else np.asarray(f, np.float32))
+    if clips.ndim != 5:
+        raise ValueError(f"clips must be (N, T, H, W, C); got {clips.shape}")
+    return clips
+
+
+class ScoringHTTPServer:
+    """Threaded HTTP server over a :class:`BatchingServer`.
+
+    ``port=0`` binds an ephemeral port (see ``.port``).  Concurrent POSTs
+    coalesce into one device batch via the batching worker — the HTTP
+    threads block on the per-request event, so N small clients cost one
+    compiled-program dispatch, not N.
+    """
+
+    def __init__(self, service: ClipScoringService, host: str = "127.0.0.1",
+                 port: int = 8700, max_wait_ms: float = 2.0,
+                 max_body: int = 1 << 30, request_timeout: float = 300.0):
+        # request_timeout must cover a cold first-bucket compile (tens of
+        # seconds on TPU, minutes on a 1-core CPU host); warmup() avoids
+        # paying it on live traffic
+        self.service = service
+        self.batcher = BatchingServer(service, max_wait_ms=max_wait_ms)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    return self._reply(404, {"error": "unknown path"})
+                self._reply(200, {"ok": True,
+                                  "buckets": list(outer.service.buckets),
+                                  "clip_shape": list(outer.service.clip_shape)})
+
+            def do_POST(self):
+                if self.path != "/score":
+                    return self._reply(404, {"error": "unknown path"})
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0 or n > max_body:
+                    return self._reply(413, {"error": f"bad body size {n}"})
+                try:
+                    clips = _parse_clips(
+                        self.rfile.read(n),
+                        self.headers.get("Content-Type", ""))
+                    res = outer.batcher.submit(clips,
+                                               timeout=request_timeout)
+                except Exception as e:  # noqa: BLE001 — surface to client
+                    return self._reply(400, {"error": str(e)})
+                self._reply(200, {
+                    "scores": np.asarray(res.scores, np.float64).tolist(),
+                    "graphs": (None if res.graphs is None
+                               else np.asarray(res.graphs,
+                                               np.float64).tolist()),
+                    "n": int(len(res.scores)),
+                })
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> Tuple[str, int]:
+        """Serve in a daemon thread; returns (host, port)."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self.host, self.port
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.batcher.close()
