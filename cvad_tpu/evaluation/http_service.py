@@ -9,6 +9,8 @@ concurrent requests into single device batches.  Zero dependencies beyond
 the standard library:
 
 - ``GET  /healthz`` -> ``{"ok": true, "buckets": [...], "clip_shape": [...]}``
+- ``GET  /stats``   -> batching counters (requests/clips/batches/errors,
+  score seconds) — ``clips_total / batches_total`` shows coalescing
 - ``POST /score``   -> scores (and graphs, when the model emits them)
 
 ``POST /score`` accepts either
@@ -124,11 +126,14 @@ class ScoringHTTPServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path != "/healthz":
-                    return self._reply(404, {"error": "unknown path"})
-                self._reply(200, {"ok": True,
-                                  "buckets": list(outer.service.buckets),
-                                  "clip_shape": list(outer.service.clip_shape)})
+                if self.path == "/healthz":
+                    return self._reply(
+                        200, {"ok": True,
+                              "buckets": list(outer.service.buckets),
+                              "clip_shape": list(outer.service.clip_shape)})
+                if self.path == "/stats":
+                    return self._reply(200, outer.batcher.stats())
+                self._reply(404, {"error": "unknown path"})
 
             def do_POST(self):
                 if self.path != "/score":
@@ -144,6 +149,8 @@ class ScoringHTTPServer:
                                                timeout=request_timeout)
                 except Exception as e:  # noqa: BLE001 — surface to client
                     return self._reply(400, {"error": str(e)})
+                if res.error is not None:  # device batch failed
+                    return self._reply(500, {"error": res.error})
                 self._reply(200, {
                     "scores": np.asarray(res.scores, np.float64).tolist(),
                     "graphs": (None if res.graphs is None

@@ -29,6 +29,9 @@ DEFAULT_BUCKETS = (1, 8, 32, 128)
 class ScoreResult:
     scores: np.ndarray
     graphs: Optional[np.ndarray] = None
+    # set when the device batch failed: scores is empty and the caller
+    # should surface the failure instead of treating it as a result
+    error: Optional[str] = None
 
 
 class ClipScoringService:
@@ -112,8 +115,19 @@ class BatchingServer:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests_total": 0, "clips_total": 0,
+                       "batches_total": 0, "errors_total": 0,
+                       "last_batch_clips": 0, "max_batch_clips": 0,
+                       "score_seconds_total": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Counters for observability endpoints: coalescing effectiveness is
+        ``clips_total / batches_total`` (device batches per request stream)."""
+        with self._stats_lock:
+            return dict(self._stats)
 
     def submit(self, clips: np.ndarray, timeout: float = 30.0) -> ScoreResult:
         req = _Pending(np.asarray(clips, np.float32))
@@ -163,13 +177,25 @@ class BatchingServer:
                 batch.append(nxt)
                 total += len(nxt.clips)
             clips = np.concatenate([p.clips for p in batch])
+            t0 = _time.monotonic()
             try:
                 res = self.service.score(clips)
-            except Exception:  # a failed batch must not strand submitters
+            except Exception as e:  # a failed batch must not strand submitters
+                with self._stats_lock:
+                    self._stats["errors_total"] += 1
                 for p in batch:
-                    p.result = ScoreResult(scores=np.zeros(0, np.float32))
+                    p.result = ScoreResult(scores=np.zeros(0, np.float32),
+                                           error=str(e))
                     p.event.set()
                 continue
+            with self._stats_lock:
+                s = self._stats
+                s["requests_total"] += len(batch)
+                s["clips_total"] += len(clips)
+                s["batches_total"] += 1
+                s["last_batch_clips"] = len(clips)
+                s["max_batch_clips"] = max(s["max_batch_clips"], len(clips))
+                s["score_seconds_total"] += _time.monotonic() - t0
             offset = 0
             for p in batch:
                 k = len(p.clips)
@@ -302,14 +328,32 @@ def _export_fwd(fwd: Callable, clip_shape, platforms, batch_symbol) -> bytes:
 def load_scorer(blob: bytes) -> Callable:
     """Rehydrate an exported artifact into a score function without importing
     any model code.  Family-D blobs return ``(scores, adjacency)`` numpy
-    arrays; family-B/C blobs return the scores array."""
+    arrays; family-B/C blobs return the scores array.
+
+    If the host's default backend is not among the blob's lowered platforms
+    (e.g. a ``--platforms cpu`` artifact loaded on a TPU machine), execution
+    pins to the first platform the blob does carry rather than erroring.
+    """
     import jax
     import jax.numpy as jnp
 
     exported = jax.export.deserialize(bytearray(blob))
+    device = None
+    platforms = tuple(p.lower() for p in exported.platforms)
+    if jax.default_backend().lower() not in platforms:
+        for p in platforms:
+            try:
+                device = jax.devices(p)[0]
+                break
+            except RuntimeError:
+                continue
 
     def score(batch: np.ndarray):
-        out = exported.call(jnp.asarray(batch, jnp.float32))
+        if device is not None:
+            with jax.default_device(device):
+                out = exported.call(jnp.asarray(batch, jnp.float32))
+        else:
+            out = exported.call(jnp.asarray(batch, jnp.float32))
         if isinstance(out, (tuple, list)):
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)

@@ -134,3 +134,22 @@ def test_service_from_path_blob_sniffing(tmp_path, rng):
     res = svc.score(x)
     want = np.asarray(model.apply(variables, x)).reshape(-1)
     np.testing.assert_allclose(res.scores, want, atol=1e-5)
+
+
+def test_stats_counters(served):
+    """/stats counters track requests, clips, batches, and score time."""
+    srv, _ = served
+    base = f"http://{srv.host}:{srv.port}"
+    before = json.loads(urllib.request.urlopen(base + "/stats",
+                                               timeout=30).read().decode())
+    x = np.random.default_rng(4).uniform(0, 1, (2, 8, 64, 64, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, clips=x)
+    _post(base + "/score", buf.getvalue(), "application/octet-stream")
+    after = json.loads(urllib.request.urlopen(base + "/stats",
+                                              timeout=30).read().decode())
+    assert after["requests_total"] == before["requests_total"] + 1
+    assert after["clips_total"] == before["clips_total"] + 2
+    assert after["batches_total"] >= before["batches_total"] + 1
+    assert after["score_seconds_total"] > before["score_seconds_total"]
+    assert after["last_batch_clips"] >= 2
