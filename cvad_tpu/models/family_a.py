@@ -312,7 +312,11 @@ class EnhancedAnomalyScorer(nn.Module):
 
 class SimpleAnomalyScorer(nn.Module):
     """Earlier single-head scorer (``video_anomaly_detection.py:375-403``):
-    one net 3F -> 32 -> 16 -> 1 sigmoid over cat[cur, pred, |diff|]."""
+    net 3F -> 32 -> 16 -> 1 sigmoid over cat[cur, pred, |diff|] applied PER
+    trajectory node; the reference's ``score.mean()`` over its N packed
+    trajectories becomes a masked mean over valid nodes — the same math on
+    the reference-reachable patterns, fixed-shape here
+    (tests/test_torch_parity_a0.py)."""
 
     cfg: FamilyAConfig
 
@@ -320,13 +324,12 @@ class SimpleAnomalyScorer(nn.Module):
     def __call__(self, factors: jnp.ndarray, predicted: jnp.ndarray,
                  node_valid: jnp.ndarray, *, deterministic: bool = True
                  ) -> jnp.ndarray:
-        m = node_valid[:, :factors.shape[1], None].astype(factors.dtype)
-        denom = jnp.maximum(m.sum(1), 1.0)
-        cur = (factors * m).sum(1) / denom
-        pred = (predicted * m).sum(1) / denom
-        x = jnp.concatenate([cur, pred, jnp.abs(cur - pred)], -1)
-        return MLP((32, 16, 1), final_activation="sigmoid",
-                   dtype=_cdtype(self.cfg), name="score_net")(x)[..., 0]
+        x = jnp.concatenate([factors, predicted,
+                             jnp.abs(factors - predicted)], -1)  # (B, N, 3F)
+        s = MLP((32, 16, 1), final_activation="sigmoid",
+                dtype=_cdtype(self.cfg), name="score_net")(x)[..., 0]  # (B, N)
+        m = node_valid[:, :factors.shape[1]].astype(s.dtype)
+        return (s * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
 
 
 class CausalPipelineDetector(nn.Module):

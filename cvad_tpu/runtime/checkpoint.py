@@ -273,10 +273,16 @@ def family_a_feature_permutation(pool_hw=(4, 6), channels=256) -> np.ndarray:
     return (c * (ph * pw) + h * pw + w).reshape(-1)
 
 
-def import_torch_family_a(src) -> Dict[str, Any]:
-    """Reference ``CausalAnomalyDetector`` (``causal_anomaly_detection.py:508-538``)
-    state dict -> framework variables for
-    :class:`cvad_tpu.models.CausalPipelineDetector`.
+def import_torch_family_a(src, variant: str = "enhanced") -> Dict[str, Any]:
+    """Reference ``CausalAnomalyDetector`` (``causal_anomaly_detection.py:508-538``,
+    or with ``variant='anchor'`` the earlier
+    ``video_anomaly_detection.py:405-417``) state dict -> framework variables
+    for :class:`cvad_tpu.models.CausalPipelineDetector` (anchor weights load
+    into the ``anchor_variant=True`` config).  The two trees share the
+    backbone/tracker/GRU/extractor/structure/dynamics mapping; they differ in
+    the detector head (anchor: ``bbox_head``/``conf_head`` linears on the
+    channel-major feature flatten) and the scorer (anchor: one ``score_net``,
+    no direct classifier).
 
     `src` is a .pth path or an already-loaded ``{key: ndarray}`` state dict.
     Returns ``{'params', 'batch_stats'}``.  GRU gates split from torch's fused
@@ -319,17 +325,23 @@ def import_torch_family_a(src) -> Dict[str, Any]:
             "mean": sd[f"{tkey}.running_mean"],
             "var": sd[f"{tkey}.running_var"]}
 
-    # detector MLP (Sequential idx 0,3,6,8 -> dense_0..3; 10 -> detector_out)
-    # dense_0 consumes the backbone flatten: permute its input rows from
-    # torch's channel-major order onto the framework's natural (h, w, c)
-    # flatten (models/family_a.py ResNetBackbone note)
+    # detector — any head consuming the backbone flatten permutes its input
+    # rows from torch's channel-major order onto the framework's natural
+    # (h, w, c) flatten (models/family_a.py ResNetBackbone note)
     feat_perm = family_a_feature_permutation()
-    for i, t_idx in enumerate((0, 3, 6, 8)):
-        leaf = dense(f"detector.detector_net.{t_idx}")
-        if i == 0:
-            leaf = {**leaf, "kernel": leaf["kernel"][feat_perm]}
-        put(params, f"detector/detector_net/dense_{i}", leaf)
-    put(params, "detector/detector_out", dense("detector.detector_net.10"))
+    if variant == "anchor":
+        for head in ("bbox_head", "conf_head"):
+            leaf = dense(f"detector.{head}")
+            put(params, f"detector/{head}",
+                {**leaf, "kernel": leaf["kernel"][feat_perm]})
+    else:
+        # detector MLP (Sequential idx 0,3,6,8 -> dense_0..3; 10 -> out)
+        for i, t_idx in enumerate((0, 3, 6, 8)):
+            leaf = dense(f"detector.detector_net.{t_idx}")
+            if i == 0:
+                leaf = {**leaf, "kernel": leaf["kernel"][feat_perm]}
+            put(params, f"detector/detector_net/dense_{i}", leaf)
+        put(params, "detector/detector_out", dense("detector.detector_net.10"))
 
     for i in (0, 2, 4):
         put(params, f"tracker/reid_{i}", dense(f"tracker.reid_net.{i}"))
@@ -370,6 +382,13 @@ def import_torch_family_a(src) -> Dict[str, Any]:
     for t_idx, name in ((0, "dyn_0"), (2, "dyn_2"), (4, "dyn_4")):
         put(params, f"dynamics_predictor/{name}",
             dense(f"dynamics_predictor.dynamics_net.{t_idx}"))
+
+    if variant == "anchor":
+        for i, t_idx in enumerate((0, 2, 4)):
+            put(params, f"anomaly_scorer/score_net/dense_{i}",
+                dense(f"anomaly_scorer.score_net.{t_idx}"))
+        return jax.tree_util.tree_map(
+            np.asarray, {"params": params, "batch_stats": stats})
 
     for head, idxs in (("causal_scorer", (0, 3, 5)),
                        ("motion_scorer", (0, 2, 4)),
