@@ -53,15 +53,22 @@ _FAMILY_CLIP_SHAPES = {
 def service_from_path(path: str, family: str = "d",
                       buckets=(1, 8, 32, 128)) -> ClipScoringService:
     """Build a scoring service from either a torch ``.pth`` checkpoint or an
-    AOT ``.jaxexport`` blob (sniffed by content, not extension)."""
-    blob = open(path, "rb").read()
-    clip_shape = _FAMILY_CLIP_SHAPES[family]
-    if _is_jax_export(blob):
-        return ClipScoringService(load_scorer(blob), buckets=buckets,
-                                  clip_shape=clip_shape)
+    AOT ``.jaxexport`` blob (sniffed by content, not extension).  Exported
+    blobs carry their own input shape, so ``--family`` only matters for
+    direct ``.pth`` serving."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if not head:
+        raise ValueError(f"{path}: empty file is not a checkpoint or an "
+                         f"exported scorer blob")
+    if _is_jax_export(head):
+        fn = load_scorer(open(path, "rb").read())
+        return ClipScoringService(fn, buckets=buckets,
+                                  clip_shape=fn.clip_shape)
     from cvad_tpu.evaluation import scoring
     from cvad_tpu.runtime import checkpoint as ckpt
 
+    clip_shape = _FAMILY_CLIP_SHAPES[family]
     if family == "b":
         variables, memory = ckpt.import_torch_family_b(path)
         fn = scoring.make_family_b_score_fn(variables, memory)
@@ -76,22 +83,37 @@ def service_from_path(path: str, family: str = "d",
                      f"serve the blob")
 
 
-def _is_jax_export(blob: bytes) -> bool:
+def _is_jax_export(head: bytes) -> bool:
     # torch .pth files are zip archives ('PK') or legacy pickles (0x80);
     # jax.export blobs are flatbuffer-framed StableHLO (neither marker)
-    return not (blob[:2] == b"PK" or blob[:1] == b"\x80")
+    return not (head[:2] == b"PK" or head[:1] == b"\x80")
 
 
-def _parse_clips(body: bytes, content_type: str) -> np.ndarray:
+def _parse_clips(body: bytes, content_type: str,
+                 clip_shape: Tuple[int, ...]) -> np.ndarray:
     if content_type.startswith("application/json"):
         clips = np.asarray(json.loads(body.decode())["clips"], np.float32)
     else:
         f = np.load(io.BytesIO(body), allow_pickle=False)
         clips = (np.asarray(f["clips"], np.float32)
                  if hasattr(f, "files") else np.asarray(f, np.float32))
-    if clips.ndim != 5:
-        raise ValueError(f"clips must be (N, T, H, W, C); got {clips.shape}")
+    # reject wrong shapes BEFORE they reach the shared batching worker: a
+    # mismatched request co-batched with valid traffic would fail the whole
+    # device batch with an opaque XLA error
+    if clips.ndim != 5 or clips.shape[1:] != tuple(clip_shape):
+        raise ValueError(f"clips must be (N,) + {tuple(clip_shape)}; "
+                         f"got {clips.shape}")
     return clips
+
+
+def _finite_or_null(arr: np.ndarray):
+    """JSON-safe nested lists: non-finite values become null (json.dumps
+    would otherwise emit non-RFC 'NaN'/'Infinity' literals strict parsers
+    reject)."""
+    a = np.asarray(arr, np.float64)
+    out = a.astype(object)
+    out[~np.isfinite(a)] = None
+    return out.tolist()
 
 
 class ScoringHTTPServer:
@@ -138,24 +160,31 @@ class ScoringHTTPServer:
             def do_POST(self):
                 if self.path != "/score":
                     return self._reply(404, {"error": "unknown path"})
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    return self._reply(400, {"error": "bad Content-Length"})
                 if n <= 0 or n > max_body:
                     return self._reply(413, {"error": f"bad body size {n}"})
                 try:
                     clips = _parse_clips(
                         self.rfile.read(n),
-                        self.headers.get("Content-Type", ""))
-                    res = outer.batcher.submit(clips,
-                                               timeout=request_timeout)
+                        self.headers.get("Content-Type", ""),
+                        outer.service.clip_shape)
                 except Exception as e:  # noqa: BLE001 — surface to client
                     return self._reply(400, {"error": str(e)})
+                try:
+                    res = outer.batcher.submit(clips,
+                                               timeout=request_timeout)
+                except TimeoutError as e:
+                    # server-side overload/cold-compile, not a client fault
+                    return self._reply(503, {"error": str(e)})
                 if res.error is not None:  # device batch failed
                     return self._reply(500, {"error": res.error})
                 self._reply(200, {
-                    "scores": np.asarray(res.scores, np.float64).tolist(),
+                    "scores": _finite_or_null(res.scores),
                     "graphs": (None if res.graphs is None
-                               else np.asarray(res.graphs,
-                                               np.float64).tolist()),
+                               else _finite_or_null(res.graphs)),
                     "n": int(len(res.scores)),
                 })
 

@@ -147,7 +147,8 @@ class BatchingServer:
                 p = self._q.get_nowait()
             except queue.Empty:
                 break
-            p.result = ScoreResult(scores=np.zeros(0, np.float32))
+            p.result = ScoreResult(scores=np.zeros(0, np.float32),
+                                   error="server shutting down")
             p.event.set()
 
     def _run(self) -> None:
@@ -176,13 +177,22 @@ class BatchingServer:
                     break
                 batch.append(nxt)
                 total += len(nxt.clips)
-            clips = np.concatenate([p.clips for p in batch])
             t0 = _time.monotonic()
             try:
+                # the concatenate must sit inside the guard: mixed-shape
+                # requests coalesced into one window raise ValueError here,
+                # and an escaped exception would kill the worker thread for
+                # good (every later submit would time out)
+                clips = np.concatenate([p.clips for p in batch])
                 res = self.service.score(clips)
             except Exception as e:  # a failed batch must not strand submitters
+                n_clips = sum(len(p.clips) for p in batch)
                 with self._stats_lock:
-                    self._stats["errors_total"] += 1
+                    s = self._stats
+                    s["errors_total"] += 1
+                    s["requests_total"] += len(batch)
+                    s["clips_total"] += n_clips
+                    s["batches_total"] += 1
                 for p in batch:
                     p.result = ScoreResult(scores=np.zeros(0, np.float32),
                                            error=str(e))
@@ -358,4 +368,7 @@ def load_scorer(blob: bytes) -> Callable:
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
+    # the blob knows its own input shape (batch dim is symbolic); expose it
+    # so services/servers don't need a per-family lookup
+    score.clip_shape = tuple(int(d) for d in exported.in_avals[0].shape[1:])
     return score

@@ -161,6 +161,13 @@ class _TFoldConv(nn.Module):
             return tail(jnp.transpose(y, (0, 3, 1, 2, 4)))
         # long windows: fold T group-wise (windows of g+2 overlapping taps)
         # so the MAC inflation stays (g+2)/3 instead of growing with T
+        if self.halo != "full":
+            # the group-wise path inherently needs the cross-group halo;
+            # silently computing the full-halo variant would make any
+            # tfold2/tfold3-vs-tfold measurement at long T meaningless
+            raise ValueError(
+                f"halo={self.halo!r} supports whole-T folds only; "
+                f"T={t} folds group-wise (g={g}) and requires halo='full'")
         wd = fold_kernel(kernel, g)
         n = t // g
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))

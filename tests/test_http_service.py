@@ -153,3 +153,63 @@ def test_stats_counters(served):
     assert after["batches_total"] >= before["batches_total"] + 1
     assert after["score_seconds_total"] > before["score_seconds_total"]
     assert after["last_batch_clips"] >= 2
+
+
+def test_wrong_shape_rejected_before_batching(served):
+    """A wrong-shape request gets an immediate 400 naming the expected
+    shape, and the batching worker survives to serve valid traffic."""
+    srv, fn = served
+    base = f"http://{srv.host}:{srv.port}"
+    bad = np.zeros((1, 8, 32, 32, 3), np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, clips=bad)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/score", buf.getvalue(), "application/octet-stream")
+    assert e.value.code == 400
+    assert "(8, 64, 64, 3)" in e.value.read().decode()
+
+    good = np.random.default_rng(5).uniform(
+        0, 1, (1, 8, 64, 64, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, clips=good)
+    out = _post(base + "/score", buf.getvalue(), "application/octet-stream")
+    np.testing.assert_allclose(out["scores"], np.asarray(fn(good)[0]),
+                               atol=1e-5)
+
+
+def test_blob_carries_clip_shape(tmp_path, rng):
+    """Exported blobs advertise their own input shape — service_from_path
+    ignores the family default for blob inputs."""
+    from cvad_tpu.config import FamilyCConfig
+    from cvad_tpu.evaluation.http_service import service_from_path
+    from cvad_tpu.evaluation.serving import export_family_c_scorer, load_scorer
+    from cvad_tpu.models import build_model
+
+    model = build_model(FamilyCConfig())
+    variables = model.init(rng, np.zeros((1, 8, 64, 64, 1), np.float32))
+    blob = export_family_c_scorer(variables, platforms=("cpu",))
+    assert load_scorer(blob).clip_shape == (8, 64, 64, 1)
+    p = tmp_path / "c.blob"
+    p.write_bytes(blob)
+    # family left at the (wrong for this blob) default 'd'
+    svc = service_from_path(str(p), buckets=(2,))
+    assert svc.clip_shape == (8, 64, 64, 1)
+    svc.warmup()  # compiles with the blob's true shape
+
+
+def test_empty_file_rejected(tmp_path):
+    from cvad_tpu.evaluation.http_service import service_from_path
+
+    p = tmp_path / "empty.pth"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError, match="empty file"):
+        service_from_path(str(p))
+
+
+def test_finite_or_null():
+    from cvad_tpu.evaluation.http_service import _finite_or_null
+
+    out = _finite_or_null(np.array([1.0, np.nan, np.inf, -np.inf]))
+    assert out == [1.0, None, None, None]
+    assert json.loads(json.dumps({"scores": out})) == {
+        "scores": [1.0, None, None, None]}

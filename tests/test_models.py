@@ -347,3 +347,17 @@ def test_tfold_fuse_relu_exact(rng):
         y1 = fused.apply(params, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_halo_variants_reject_group_fold():
+    """tfold2/tfold3 are whole-T-fold only: on a long-T shape that folds
+    group-wise they must raise instead of silently computing the full-halo
+    variant (which would invalidate any variant-vs-variant measurement)."""
+    from cvad_tpu.models.layers import Conv3dTorch
+
+    x = _clips((1, 16, 8, 8, 3), seed=11)
+    for mode in ("tfold2", "tfold3"):
+        m = Conv3dTorch(16, stride=(1, 2, 2), mode=mode)
+        params = m.init(jax.random.PRNGKey(0), _clips((1, 8, 8, 8, 3)))
+        with pytest.raises(ValueError, match="whole-T folds only"):
+            m.apply(params, x)
