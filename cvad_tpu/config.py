@@ -136,6 +136,13 @@ class FamilyDConfig(_Base):
     # B=256 bf16 step: native 2170 us -> tfold 1563 -> folded 1361 (~1.6x).
     # 'auto' = 'folded' on accelerators, 'ndhwc' on CPU.
     conv_stack: str = "auto"
+    # long-T (T > 128/c1) group-fold lowering when conv1_mode='tfold':
+    # 'stack' legacy window stack (measured 2.6x slower than native at
+    # T=64 — auto paths fall back to native), or 'gconv' one
+    # feature_group_count conv over a channel-halo gather (layers.py
+    # _TFoldConv.group_impl); 'gconv' also disables the native fallback so
+    # long-T folds can be measured end-to-end
+    conv_group_impl: str = "stack"
 
 
 @dataclass(frozen=True)

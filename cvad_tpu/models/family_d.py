@@ -69,12 +69,18 @@ class CompactFeatureExtractor(nn.Module):
         stack, conv1_mode = _resolve_lowering(self.cfg)
         from cvad_tpu.models.layers import _useful_fold
 
+        from cvad_tpu.ops.pallas_conv import fold_group_size
+
+        gi = getattr(self.cfg, "conv_group_impl", "stack")
         folded = (stack in ("folded", "folded2", "folded3")
                   and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
                   # whole-T fold at T=8; group-wise fold (windows of g=8)
                   # for long T (see layers._TFoldConv) — inflation pinned
-                  # at (g+2)/3 either way
-                  and _useful_fold(x.shape[1], c1))
+                  # at (g+2)/3 either way.  Long T stays on the native
+                  # stack unless the gconv group fold is requested.
+                  and (_useful_fold(x.shape[1], c1)
+                       or (gi == "gconv"
+                           and fold_group_size(x.shape[1], c1) >= 2)))
         if folded:
             # transpose-free stack: conv1 T-folds into ONE well-shaped 2-D
             # conv (models/layers.py::_TFoldConv) and convs 2-3 consume the
@@ -90,7 +96,7 @@ class CompactFeatureExtractor(nn.Module):
                                                                      "tfold")
             x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
                                     mode=c1_mode, unfold=False,
-                                    name="conv3d_1")(x))
+                                    group_impl=gi, name="conv3d_1")(x))
             x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
                                     layout="hwtc", name="conv3d_2")(x))
             x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), dtype=dtype,
@@ -98,10 +104,12 @@ class CompactFeatureExtractor(nn.Module):
             x = jnp.transpose(x, (0, 3, 1, 2, 4))
         else:
             if (conv1_mode in ("tfold", "tfold_pallas")
-                    and not _useful_fold(x.shape[1], c1)):
+                    and not _useful_fold(x.shape[1], c1)
+                    and gi != "gconv"):
                 conv1_mode = "native"  # long windows: native measures faster
             x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
-                                    mode=conv1_mode, name="conv3d_1")(x))
+                                    mode=conv1_mode, group_impl=gi,
+                                    name="conv3d_1")(x))
             x = nn.relu(Conv3dTorch(c2, stride=(2, 2, 2), dtype=dtype,
                                     name="conv3d_2")(x))
             x = nn.relu(Conv3dTorch(c3, stride=(2, 2, 2), dtype=dtype,

@@ -14,6 +14,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def from_torch_layout(x: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +115,10 @@ class _TFoldConv(nn.Module):
     # own padding.  All exact; whole-T fold only — the group-wise path
     # needs the cross-group halo.
     halo: str = "full"
+    # long-T group-fold lowering: 'stack' (legacy window stack + transpose)
+    # or 'gconv' (single pad -> static channel halo gather -> ONE
+    # feature_group_count=n conv with the banded kernel tiled per group)
+    group_impl: str = "stack"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -170,6 +175,35 @@ class _TFoldConv(nn.Module):
                 f"T={t} folds group-wise (g={g}) and requires halo='full'")
         wd = fold_kernel(kernel, g)
         n = t // g
+        if self.group_impl == "gconv":
+            # ONE grouped conv instead of n window stacks: fold the whole
+            # padded T axis like the T=8 path (single pad op = the
+            # layout-friendly producer), give every group its 2-frame halo
+            # by a static channel gather, then feature_group_count=n with
+            # the banded kernel tiled across groups — each group's matmul
+            # is the same well-shaped (M, (g+2)*3C) x (·, g*Cout) tile as
+            # the whole-T fold
+            from cvad_tpu.ops.pallas_conv import fold_input
+
+            xf = fold_input(x)  # (B, H+2, W+2, (T+2)*C)
+            # per-group halo channels via static slices (NOT a fancy-index
+            # gather: XLA lowers the minor-dim gather as a serial while loop
+            # plus relayout copies — traced 7.9 vs 5.9 ms/step at T=64)
+            xg = jnp.concatenate(
+                [jax.lax.slice_in_dim(xf, i * g * cin,
+                                      (i * g + g + 2) * cin, axis=3)
+                 for i in range(n)], axis=3)  # (B, H+2, W+2, n*(g+2)*C)
+            wg = jnp.tile(wd, (1, 1, 1, n))  # (3,3,(g+2)*C, n*g*cout)
+            dn = jax.lax.conv_dimension_numbers(
+                xg.shape, wg.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                xg, wg, (s, s), "VALID", dimension_numbers=dn,
+                feature_group_count=n)  # (B, H', W', T*cout), T-major blocks
+            y = post(y)
+            y = y.reshape(b, h // s, w // s, t, cout)
+            if not self.unfold:
+                return tail(y)
+            return tail(jnp.transpose(y, (0, 3, 1, 2, 4)))
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         wins = jnp.stack([jax.lax.slice_in_dim(xp, i * g, i * g + g + 2,
                                                axis=1) for i in range(n)], 1)
@@ -343,6 +377,8 @@ class Conv3dTorch(nn.Module):
     # avoids a relu-bwd relayout copy); every other path applies relu to the
     # output.  Callers setting this must NOT apply relu again.
     fuse_relu: bool = False
+    # long-T group-fold lowering for the tfold path (see _TFoldConv)
+    group_impl: str = "stack"
 
     def _tpair_applicable(self, x) -> bool:
         return (self.mode == "tpair" and self.kernel == (3, 3, 3)
@@ -378,6 +414,7 @@ class Conv3dTorch(nn.Module):
                               halo={"tfold2": "none",
                                     "tfold3": "spatial"}.get(self.mode,
                                                              "full"),
+                              group_impl=self.group_impl,
                               name="conv")(x)
         if (self.mode == "s2d" and self.kernel == (3, 3, 3)
                 and self.stride == (1, 2, 2) and self.padding == (1, 1, 1)

@@ -36,6 +36,8 @@ def trace_step(mode: str, steps_per_call: int, logdir: str) -> None:
         model_kw = ({"conv_stack": mode}
                     if mode in ("folded", "folded2", "folded3")
                     else {"conv_stack": "ndhwc", "conv1_mode": mode})
+        if os.environ.get("CVAD_PROF_GIMPL"):
+            model_kw["conv_group_impl"] = os.environ["CVAD_PROF_GIMPL"]
         cfg = cfg.replace(model=cfg.model.replace(**model_kw))
     cfg = cfg.replace(
         data=cfg.data.replace(batch_size=BATCH),

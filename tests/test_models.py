@@ -361,3 +361,33 @@ def test_halo_variants_reject_group_fold():
         params = m.init(jax.random.PRNGKey(0), _clips((1, 8, 8, 8, 3)))
         with pytest.raises(ValueError, match="whole-T folds only"):
             m.apply(params, x)
+
+
+def test_group_fold_gconv_exact(rng):
+    """The single-grouped-conv long-T fold (group_impl='gconv') equals the
+    native conv in forward and gradients, like every other relowering.
+    Measured at T=64/B=32 bf16 on v5e: conv1 fwd+wgrad drop 3027 -> 790 us
+    (the (M,270)x(270,128) per-group tiles work) but XLA layout assignment
+    inserts ~4.5 ms of round-trip copies around the unfolded tensor, so the
+    full step loses (7.2 vs 5.9 ms native) and the auto paths keep native
+    for long T.  The variant + this test record the frontier for future
+    compiler versions."""
+    from cvad_tpu.models.layers import Conv3dTorch
+
+    x = _clips((2, 16, 12, 12, 3), seed=13)
+    native = Conv3dTorch(16, stride=(1, 2, 2), mode="native")
+    gconv = Conv3dTorch(16, stride=(1, 2, 2), mode="tfold",
+                        group_impl="gconv")
+    params = native.init(rng, x)
+    np.testing.assert_allclose(np.asarray(gconv.apply(params, x)),
+                               np.asarray(native.apply(params, x)),
+                               rtol=2e-6, atol=2e-6)
+
+    def loss(fn, p):
+        return (fn.apply(p, x) ** 2).sum()
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(native, p))(params))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(gconv, p))(params))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
