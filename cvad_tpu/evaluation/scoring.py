@@ -12,6 +12,7 @@ aggregation the reference approximates frame-by-frame).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -211,5 +212,56 @@ def make_family_b_score_fn(variables, memory, loss_cfg=None, model=None
 
     def score(batch: np.ndarray):
         return np.asarray(fwd(variables, memory, jnp.asarray(batch)))
+
+    return score
+
+
+def make_sharded_score_fn(variables, mesh=None, model=None,
+                          family: str = "d") -> Callable:
+    """Data-parallel scorer: the batch shards over the mesh's 'data' axis
+    (params replicated), so one scoring call spans every chip the way the
+    training step does — the serving-side half of SURVEY.md §2.9's DP row
+    (the reference is strictly single-device).
+
+    Returns ``(scores, adjacency)`` for family 'd', scores for family 'c'.
+    Input batches are padded up to a multiple of the data-axis size and
+    trimmed after; an N-device call is numerically identical to 1-device
+    (tests/test_parallel.py::test_sharded_score_matches_single).
+    """
+    import jax
+
+    from cvad_tpu.models import CausalAnomalyDetector, Simple3DCNNDetector
+    from cvad_tpu.runtime.mesh import (batch_sharding, create_mesh,
+                                       replicated)
+
+    mesh = mesh or create_mesh()
+    if model is None:
+        model = (Simple3DCNNDetector() if family == "c"
+                 else CausalAnomalyDetector())
+    ndata = mesh.shape["data"]
+    in_sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    @partial(jax.jit, out_shardings=rep)
+    def fwd(v, clips):
+        out = model.apply(v, clips, deterministic=True) \
+            if family != "c" else model.apply(v, clips)
+        if isinstance(out, tuple):
+            return out[0].reshape(-1), out[1]
+        return out.reshape(-1)
+
+    v_rep = jax.device_put(variables, rep)
+
+    def score(batch: np.ndarray):
+        n = len(batch)
+        pad = -n % ndata
+        if pad:
+            batch = np.concatenate([batch, batch[-1:].repeat(pad, axis=0)])
+        x = jax.device_put(np.asarray(batch, np.float32), in_sh)
+        out = fwd(v_rep, x)
+        if isinstance(out, tuple):
+            return (np.asarray(out[0])[:n],) + tuple(np.asarray(o)[:n]
+                                                     for o in out[1:])
+        return np.asarray(out)[:n]
 
     return score

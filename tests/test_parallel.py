@@ -192,3 +192,26 @@ def test_family_a_dp_step_matches(cpu_devices, tmp_path):
                     jax.tree_util.tree_leaves(s8.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_score_matches_single(rng):
+    """DP serving: an 8-device sharded scoring call equals the plain
+    single-device forward, including the non-multiple-batch trim."""
+    import jax
+
+    from cvad_tpu.evaluation.scoring import (make_family_d_score_fn,
+                                             make_sharded_score_fn)
+    from cvad_tpu.models import CausalAnomalyDetector
+
+    m = CausalAnomalyDetector()
+    x = np.random.default_rng(2).uniform(
+        0, 1, (13, 8, 64, 64, 3)).astype(np.float32)  # 13 % 8 != 0
+    v = m.init(rng, x[:1])
+    sharded = make_sharded_score_fn(v, model=m)
+    s8, adj8 = sharded(x)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        s1, adj1 = make_family_d_score_fn(v, model=m)(x)
+    assert s8.shape == (13,) and adj8.shape == (13, 16, 16)
+    np.testing.assert_allclose(s8, s1, atol=2e-5)
+    np.testing.assert_allclose(adj8, adj1, atol=2e-5)
