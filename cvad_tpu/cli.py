@@ -229,6 +229,24 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_synth(args) -> int:
+    """Write a synthetic UCSD-style frame-folder tree (Train/Test splits,
+    per-video frame folders) so the real disk -> decode -> train path can be
+    exercised without downloading a dataset.  Formats cover the real
+    datasets' encodings (UCSD .tif, Avenue jpg/png) plus the native-decoder
+    formats (pgm/ppm)."""
+    from cvad_tpu.data.synthetic import write_synthetic_video_tree
+
+    root = write_synthetic_video_tree(
+        args.out, videos_per_split=args.videos,
+        frames_per_video=args.frames,
+        hw=tuple(int(x) for x in args.hw.split(",")),
+        channels=args.channels, fmt=args.format, seed=args.seed)
+    n = sum(1 for _ in Path(root).rglob("*") if _.is_file())
+    print(json.dumps({"root": root, "files": n, "format": args.format}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cvad", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -300,6 +318,18 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--warmup", action="store_true",
                     help="compile every bucket before accepting traffic")
     sv.set_defaults(fn=cmd_serve)
+
+    sy = sub.add_parser("synth", help="write a synthetic dataset tree")
+    sy.add_argument("--out", default="synthetic_ucsd")
+    sy.add_argument("--format", default="pgm",
+                    choices=("pgm", "ppm", "npy", "tif", "tif_lzw", "jpg",
+                             "png"))
+    sy.add_argument("--videos", type=int, default=2)
+    sy.add_argument("--frames", type=int, default=24)
+    sy.add_argument("--hw", default="64,64")
+    sy.add_argument("--channels", type=int, default=1)
+    sy.add_argument("--seed", type=int, default=0)
+    sy.set_defaults(fn=cmd_synth)
     return p
 
 

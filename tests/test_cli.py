@@ -137,3 +137,22 @@ def test_cli_export_family_e(tmp_path, capsys):
         ts, tadj, _ = tm(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
     np.testing.assert_allclose(s, ts.numpy().reshape(-1), atol=3e-4)
     np.testing.assert_allclose(adj, tadj.numpy(), atol=3e-4)
+
+
+def test_cli_synth_then_train(tmp_path, capsys):
+    """'cvad synth' writes a tif tree that the real disk -> decode -> train
+    path consumes end to end (UCSD .tif like the actual dataset)."""
+    rc = main(["synth", "--out", str(tmp_path / "tree"), "--format", "tif",
+               "--videos", "1", "--frames", "16"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files"] == 2 * 1 * 16
+
+    rc = main(["train", "--preset", "mini3d",
+               "--dataset", "ucsd_ped2_simple",
+               "--data-root", str(tmp_path / "tree"),
+               "--out", str(tmp_path / "run"), "--epochs", "1",
+               "--set", "data.batch_size=2"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["epochs"] == 1 and res["final_loss"] > 0
