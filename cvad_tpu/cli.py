@@ -10,6 +10,8 @@
   cvad plots      — history dashboard (avenue_training_script1:228-291)
   cvad convert    — torch .pth <-> framework checkpoint conversion
   cvad export     — AOT serving artifact (jax.export StableHLO + weights)
+  cvad serve      — HTTP scoring endpoint over the batching service
+  cvad synth      — synthetic dataset tree (exercise the real IO path)
 
 Usage: ``python -m cvad_tpu.cli <command> [...]``.  Every hard-coded constant
 of the reference is a ``--set section.key=value`` override here.
