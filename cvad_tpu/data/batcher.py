@@ -27,11 +27,15 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  torch_layout: bool = False, num_threads: int = 4,
-                 prefetch: int = 2, transfer_dtype: str = "float32"):
+                 prefetch: int = 2, transfer_dtype: str = "float32",
+                 max_batches: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # 0 = no cap; multi-host training caps every host to the fleet-wide
+        # minimum step count so no host runs a collective alone
+        self.max_batches = max_batches
         self.seed = seed
         self.torch_layout = torch_layout
         self.num_threads = max(1, num_threads)
@@ -51,9 +55,9 @@ class BatchLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        k = (n // self.batch_size if self.drop_last
+             else (n + self.batch_size - 1) // self.batch_size)
+        return min(k, self.max_batches) if self.max_batches else k
 
     def _batch_indices(self):
         n = len(self.dataset)
@@ -61,6 +65,8 @@ class BatchLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        if self.max_batches:
+            stop = min(stop, self.max_batches * self.batch_size)
         for s in range(0, stop, self.batch_size):
             yield idx[s:s + self.batch_size]
 
@@ -79,6 +85,13 @@ class BatchLoader:
             clips = np.transpose(clips, (0, 4, 1, 2, 3))
         return {"clips": clips, "labels": labels}
 
+    def sample_batch(self) -> Dict[str, np.ndarray]:
+        """First batch in dataset order WITHOUT starting an epoch: no
+        producer thread to strand, no shuffle-epoch increment — for
+        model/state initialization (engine ``fit``)."""
+        n = min(self.batch_size, len(self.dataset))
+        return self._collate(np.arange(n))
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         self._epoch += 1
         batches = list(self._batch_indices())
@@ -86,12 +99,15 @@ class BatchLoader:
             return iter(())
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        err: list = []
 
         def producer():
             try:
                 for b in batches:
                     q.put(self._collate(b))
-            finally:
+            except BaseException as e:  # surface to the consumer: a silently
+                err.append(e)           # truncated epoch would corrupt
+            finally:                    # metrics/schedule/checkpoints
                 q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -101,6 +117,9 @@ class BatchLoader:
             while True:
                 item = q.get()
                 if item is sentinel:
+                    if err:
+                        raise RuntimeError(
+                            "BatchLoader producer failed mid-epoch") from err[0]
                     break
                 yield item
 

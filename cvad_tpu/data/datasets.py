@@ -188,7 +188,26 @@ def create_avenue_dataloaders(dataset_path: str, batch_size: int = 4,
                      num_decode_threads=max(num_workers, 1))
     train = AvenueDataset(dataset_path, "Train", cfg)
     test = AvenueDataset(dataset_path, "Test", cfg)
-    mk = lambda ds, shuffle: BatchLoader(ds, batch_size, shuffle=shuffle,
-                                         torch_layout=True,
-                                         num_threads=max(num_workers, 1))
+    mk = lambda ds, shuffle: _TupleLoader(BatchLoader(
+        ds, batch_size, shuffle=shuffle, torch_layout=True,
+        num_threads=max(num_workers, 1)))
     return mk(train, True), mk(test, False)
+
+
+class _TupleLoader:
+    """Adapter to the reference's iteration contract: it unpacks
+    ``for videos, labels in loader`` (``avenue_training_script2.py:217``),
+    while :class:`BatchLoader` yields ``{"clips", "labels"}`` dicts."""
+
+    def __init__(self, loader):
+        self.loader = loader
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for b in self.loader:
+            yield b["clips"], b["labels"]
+
+    def __getattr__(self, name):  # passthrough (dataset, batch_size, ...)
+        return getattr(self.loader, name)

@@ -467,8 +467,11 @@ def import_torch_generic(path: str, params_template: Mapping[str, Any],
     """Best-effort import for other families: match torch keys to template
     leaves by normalized name + shape.  Used by tests and the converter CLI."""
     sd = load_torch_state_dict(path)
-    flat = jax.tree_util.tree_flatten_with_path(dict(params_template))[0]
-    out = dict(params_template)
+    # deep-copy the structure: matched leaves are assigned into nested
+    # dicts, and a shallow dict() would write through into the CALLER's
+    # (possibly live-model) tree
+    out = jax.tree_util.tree_map(lambda x: x, dict(params_template))
+    flat = jax.tree_util.tree_flatten_with_path(out)[0]
 
     def norm(s: str) -> str:
         return re.sub(r"[^a-z0-9]", "", s.lower())

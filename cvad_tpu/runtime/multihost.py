@@ -132,16 +132,27 @@ def make_host_loader(dataset, global_batch: int, *,
     """Per-host ``BatchLoader`` over this host's dataset shard.
 
     ``global_batch`` is the whole-mesh batch; each host yields its
-    ``per_host_batch_size`` slice per step.  ``drop_last=True`` is forced so
-    every host yields the same number of steps (a straggling remainder on one
-    host would deadlock the collective in the jitted step).
+    ``per_host_batch_size`` slice per step.  ``drop_last=True`` plus a cap at
+    the FLEET-WIDE minimum step count is forced so every host yields the same
+    number of steps: shard sizes differ (the dataset remainder goes to the
+    last host) and local batch sizes differ (the batch remainder goes to
+    host 0), so per-host ``len(shard)//bs`` alone can disagree — and one
+    host running a jitted step alone deadlocks its gradient collective.
+    Every host computes the same minimum from the pure slice/batch formulas.
     """
     from cvad_tpu.data.batcher import BatchLoader
 
+    pc = jax.process_count() if process_count is None else process_count
+    n = len(dataset)
+    common_steps = min(
+        (host_local_slice(n, i, pc).stop - host_local_slice(n, i, pc).start)
+        // max(per_host_batch_size(global_batch, pc, i), 1)
+        for i in range(pc))
     shard = HostShardDataset(dataset, process_index, process_count)
     local_bs = per_host_batch_size(global_batch, process_count, process_index)
     loader_kwargs.setdefault("num_threads", 4)
     loader_kwargs["drop_last"] = True
+    loader_kwargs["max_batches"] = common_steps
     return BatchLoader(shard, local_bs, **loader_kwargs)
 
 

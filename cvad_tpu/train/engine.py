@@ -108,13 +108,23 @@ class Trainer:
             state, vecs = jax.lax.scan(body, state, batches)
             return state, vecs.sum(axis=0)
 
-        # batches stacked on a new leading axis: shard axis 1 (batch) on 'data'
+        # batches stacked on a new leading axis: shard axis 1 (batch) on
+        # 'data'; with a time axis, stacked clips (K, B, T, ...) also shard
+        # T — same temporal sharding as the single-step path
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+        self._stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+        if self._time_dim is not None:
+            spec = [None, "data"] + [None] * self._time_dim
+            spec[self._time_dim + 1] = "time"
+            self._stacked_clips_sh = NamedSharding(self.mesh, P(*spec))
+        else:
+            self._stacked_clips_sh = self._stacked_sh
+        stacked_bsh = {"clips": self._stacked_clips_sh,
+                       "labels": self._stacked_sh, "valid": self._stacked_sh}
         self._jit_train_multi = jax.jit(
             multi_step,
-            in_shardings=(rep, stacked_sh, rep),
+            in_shardings=(rep, stacked_bsh, rep),
             donate_argnums=donate,
         )
         self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, bsh))
@@ -134,16 +144,18 @@ class Trainer:
         """Stack equal-shaped host batches into one (K, B, ...) device chunk
         for the scanned multi-step call (`steps_per_call` > 1) — K train steps
         per dispatch, amortizing the per-call latency K-fold."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from cvad_tpu.runtime.mesh import pad_with_valid
 
         nd = self.mesh.shape["data"]
         padded = [pad_with_valid(b, nd) for b in host_batches]
         stacked = {k: np.stack([np.asarray(p[k]) for p in padded])
                    for k in padded[0]}
-        sh = NamedSharding(self.mesh, P(None, "data"))
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+        return self._put_stacked(stacked)
+
+    def _put_stacked(self, stacked: Dict[str, np.ndarray]):
+        return {k: jax.device_put(v, self._stacked_clips_sh if k == "clips"
+                                  else self._stacked_sh)
+                for k, v in stacked.items()}
 
     def restore(self, sample_batch: Dict[str, np.ndarray],
                 step="latest") -> Optional[int]:
@@ -163,6 +175,10 @@ class Trainer:
         hist = self.ckpt.restore_history(step)
         if hist:
             sched = hist.pop("_scheduler", None)
+            # restore the best-metric watermark: without it, the first eval
+            # after a resume would overwrite the 'best' checkpoint with a
+            # possibly-worse model
+            self._best = hist.pop("_best", None)
             for k in self.history.KEYS:
                 self.history.data[k] = list(hist.get(k, []))
             if sched:
@@ -173,7 +189,8 @@ class Trainer:
 
     def _ckpt_payload(self) -> Dict:
         return {**self.history.as_dict(),
-                "_scheduler": self.scheduler.state_dict()}
+                "_scheduler": self.scheduler.state_dict(),
+                "_best": self._best}
 
     # -- epochs --------------------------------------------------------------
 
@@ -188,18 +205,16 @@ class Trainer:
         if k > 1:
             # full chunks arrive stacked (K, B, ...) for the scanned
             # multi-step call; the remainder arrives as single batches
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from cvad_tpu.runtime.mesh import pad_with_valid as _pad
             from cvad_tpu.runtime.mesh import shard_batch as _shard
 
-            stacked_sh = NamedSharding(self.mesh, P(None, "data"))
-
             def put_fn(item):
+                # batches arrive already padded (with the correct 'valid'
+                # mask) from _chunk_batches — re-padding here would rebuild
+                # 'valid' as all-ones and let the duplicate rows into the
+                # gradient
                 if item["clips"].ndim == 6:
-                    return jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, stacked_sh), item)
-                return _shard(self.mesh, _pad(item, nd))
+                    return self._put_stacked(item)
+                return _shard(self.mesh, item, time_dim=self._time_dim)
 
             feed = DevicePrefetcher(_chunk_batches(loader, k, nd),
                                     put_fn=put_fn)
@@ -220,9 +235,11 @@ class Trainer:
                 self.state, vec = self._jit_train(self.state, batch, self._rng)
                 total_vec = vec if total_vec is None else total_vec + vec
                 count += 1
+                # tick EVERY step (rate = count/elapsed); ticking only on
+                # log steps understated steps_per_s by a factor of log_every
+                t = timer.tick()
                 if count % self.cfg.train.log_every == 0:
                     host = dict(zip(self._metric_keys, np.asarray(vec)))
-                    t = timer.tick()
                     self.logger.log("train_batch", epoch=epoch, batch=count,
                                     **host, steps_per_s=t["steps_per_s"])
         if total_vec is None:
@@ -312,7 +329,13 @@ class Trainer:
         cfg = self.cfg.train
         if self.state is None:
             if sample_batch is None:
-                sample_batch = next(iter(train_loader))
+                # BatchLoader: take the first batch WITHOUT starting an
+                # epoch (an abandoned iterator would strand its producer
+                # thread on the bounded queue and shift the shuffle epoch)
+                if hasattr(train_loader, "sample_batch"):
+                    sample_batch = train_loader.sample_batch()
+                else:
+                    sample_batch = next(iter(train_loader))
             self.init_state(sample_batch)
         t0 = time.time()
         start_epoch = self.history.last_epoch + 1

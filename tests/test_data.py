@@ -146,9 +146,12 @@ def test_avenue_dataloaders_contract(tmp_path):
                                hw=(32, 32), channels=1, fmt="pgm")
     train_loader, test_loader = create_avenue_dataloaders(
         str(root), batch_size=2, clip_length=8, frame_size=(32, 32))
-    batch = next(iter(train_loader))
-    assert batch["clips"].shape == (2, 3, 8, 32, 32)
-    assert batch["labels"].shape == (2,)
+    # the reference unpacks tuples: `for videos, labels in loader`
+    # (avenue_training_script2.py:217)
+    videos, labels = next(iter(train_loader))
+    assert videos.shape == (2, 3, 8, 32, 32)
+    assert labels.shape == (2,)
+    assert len(train_loader) >= 1 and len(test_loader) >= 1
 
 
 def test_synthetic_separation():
@@ -313,3 +316,43 @@ def test_dataset_native_path_real_formats(tmp_path, fmt, monkeypatch):
     clip, label = ds[0]
     assert clip.shape == (8, 32, 32, 1)
     assert clip.std() > 0.01  # actually decoded, not zero-fallback
+
+
+def test_batch_loader_producer_error_surfaces():
+    """Regression (self-review finding): a mid-epoch decode failure must
+    raise to the caller, not end the epoch early with partial data."""
+    from cvad_tpu.data.batcher import BatchLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise RuntimeError("decode exploded")
+            return np.zeros((2, 4, 4, 1), np.float32), 0.0
+
+    loader = BatchLoader(Bad(), 2, num_threads=1)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(loader)
+
+
+def test_batch_loader_sample_batch_no_epoch():
+    """sample_batch returns the first batch without consuming an epoch or
+    advancing the shuffle counter."""
+    from cvad_tpu.data.batcher import BatchLoader
+
+    class Toy:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return np.full((2, 4, 4, 1), i, np.float32), float(i)
+
+    loader = BatchLoader(Toy(), 4, shuffle=True, seed=0, num_threads=1)
+    sb = loader.sample_batch()
+    assert sb["clips"].shape == (4, 2, 4, 4, 1)
+    assert loader._epoch == 0  # no epoch consumed
+    first_epoch = [b["labels"].tolist() for b in loader]
+    loader2 = BatchLoader(Toy(), 4, shuffle=True, seed=0, num_threads=1)
+    assert first_epoch == [b["labels"].tolist() for b in loader2]

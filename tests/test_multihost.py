@@ -97,3 +97,20 @@ def test_form_global_batch_single_process(cpu_mesh):
         np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
     # sharded along 'data': each device holds 1 of the 8 rows
     assert len(out["clips"].addressable_shards) == len(jax.devices("cpu"))
+
+
+@pytest.mark.parametrize("n,pc,gb", [(97, 3, 9), (99, 3, 10), (100, 4, 6)])
+def test_make_host_loader_uneven_shards_equal_steps(n, pc, gb):
+    """Regression (self-review finding): the dataset remainder goes to the
+    LAST host while the batch remainder goes to host 0, so naive
+    len(shard)//bs step counts disagree (e.g. 97/3 hosts at batch 9: shards
+    32/32/33, bs 3/3/3 -> 10/10/11 steps) — one host would run its gradient
+    collective alone and deadlock.  All hosts must cap to the fleet minimum."""
+    ds = _ToyDataset(n)
+    counts = []
+    for pi in range(pc):
+        ld = multihost.make_host_loader(ds, gb, process_index=pi,
+                                        process_count=pc, num_threads=1)
+        counts.append(sum(1 for _ in ld))
+        assert len(ld) == counts[-1]
+    assert len(set(counts)) == 1, counts

@@ -100,3 +100,18 @@ def test_checkpoint_gc_keeps_max(tmp_path):
     mgr.save("best", state, wait=True)
     mgr.save(5, state, wait=True)
     assert (tmp_path / "best").exists()
+
+
+def test_restore_keeps_best_watermark(tmp_path):
+    """Regression (self-review finding): the best-metric watermark must
+    survive restore — otherwise the first eval after a resume overwrites
+    the 'best' checkpoint with a possibly-worse model."""
+    cfg = _cfg(tmp_path, 1)
+    tr1 = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=16)
+    tr1.fit(train_loader, eval_loader)
+    assert tr1._best is not None
+
+    tr2 = Trainer(_cfg(tmp_path, 2), mesh=_mesh1())
+    tr2.restore(next(iter(train_loader)))
+    assert tr2._best == tr1._best

@@ -359,3 +359,29 @@ def test_family_a_multiepoch_cosine(tmp_path):
     assert all(np.isfinite(l) for l in hist["train_losses"])
     # cosine actually moved the lr
     assert hist["learning_rates"][0] != tr.scheduler.lr
+
+
+def test_steps_per_call_remainder_masked(tmp_path):
+    """Regression (self-review finding): on the 8-device mesh, a
+    non-multiple remainder batch through the steps_per_call>1 path must be
+    gradient-identical to the single-step path.  The multi-step put_fn
+    previously re-padded the already-padded batch, rebuilding 'valid' as
+    all-ones so the duplicate rows entered the gradient."""
+    cfg = _small(preset("family_d"), tmp_path, epochs=1, batch=8, hw=(16, 16))
+    rng = np.random.default_rng(3)
+    batches = [{"clips": rng.uniform(0, 1, (n, 8, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(n, np.float32)} for n in (8, 8, 3)]
+
+    results = {}
+    for k in (1, 2):
+        cfgk = cfg.replace(train=cfg.train.replace(
+            steps_per_call=k, out_dir=str(tmp_path / f"rk{k}")))
+        tr = Trainer(cfgk)  # full 8-device CPU mesh: nd=8, remainder pads
+        tr.init_state(batches[0])
+        tr.train_epoch(list(batches), epoch=1)
+        results[k] = jax.device_get(tr.state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(results[1]),
+                    jax.tree_util.tree_leaves(results[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
