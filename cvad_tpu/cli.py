@@ -7,6 +7,7 @@
                     extraction (avenue_training_script_bbox.py inference path)
   cvad report     — bbox visualization + JSON/HTML report (AnomalyVisualizer)
   cvad diagnose   — training-history diagnosis (avenue_training_script2:474)
+  cvad smoke      — pre-training model/dataset gate (minicausal_vad_complete3:503)
   cvad plots      — history dashboard (avenue_training_script1:228-291)
   cvad convert    — torch .pth <-> framework checkpoint conversion
   cvad export     — AOT serving artifact (jax.export StableHLO + weights)
@@ -138,6 +139,24 @@ def cmd_diagnose(args) -> int:
     result = diagnose_training_issues(history_file=args.history)
     print(json.dumps(result["warnings"]))
     return 0
+
+
+def cmd_smoke(args) -> int:
+    """Pre-training gate (``minicausal_vad_complete3.py:503-561``: the
+    reference ran test_simple_model + debug_dataset_dtypes before training)."""
+    from cvad_tpu.utils.diagnose import debug_dataset_dtypes, smoke_test_model
+
+    result = smoke_test_model(verbose=False)
+    if args.data_root:
+        from cvad_tpu.data.datasets import build_dataset
+
+        cfg = DataConfig(dataset=args.dataset, root=args.data_root)
+        recs = debug_dataset_dtypes(build_dataset(cfg), verbose=False)
+        result["dataset_samples"] = recs
+        result["ok"] = result["ok"] and not any(
+            r.get("float64") or "error" in r for r in recs)
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
 
 
 def cmd_plots(args) -> int:
@@ -286,6 +305,11 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("diagnose")
     d.add_argument("history")
     d.set_defaults(fn=cmd_diagnose)
+
+    sm = sub.add_parser("smoke", help="pre-training model + dataset gate")
+    sm.add_argument("--data-root", default=None)
+    sm.add_argument("--dataset", default="ucsd_ped2")
+    sm.set_defaults(fn=cmd_smoke)
 
     pl = sub.add_parser("plots")
     pl.add_argument("history")

@@ -350,3 +350,37 @@ def train_improved_minicausal_vad(dataset_path: str, num_epochs: int = 100,
         safe_json_save(history, out / "improved_training_history.json",
                        verbose=False)
     return model, history
+
+
+def setup_training_environment():
+    """Device probe (``avenue_training_script1.py:23-35``): the reference
+    returned the torch device after printing GPU name/memory and clearing
+    the cache.  Here the analog is the default jax device — there is no
+    cache to clear (XLA arena allocation) — returned as the object the
+    drivers pass to ``MiniCausalVAD(device=...)``."""
+    dev = jax.devices()[0]
+    print(f"Using device: {dev.platform}:{dev.id} ({dev.device_kind})")
+    return dev
+
+
+def test_trained_model(model_path: str, dataset_path: str,
+                       loaders=None):
+    """Post-training evaluation driver (``avenue_training_script1.py:293-313``):
+    load a checkpoint into `MiniCausalVAD`, evaluate on the Avenue test
+    split, return ``(predictions, causal_graphs)``."""
+    from cvad_tpu.data.datasets import create_avenue_dataloaders
+
+    _, test_loader = (loaders if loaders is not None else
+                      create_avenue_dataloaders(dataset_path, batch_size=4))
+    model = MiniCausalVAD(device=str(setup_training_environment()))
+    model.load_model(model_path)
+    predictions, _, causal_graphs = model.evaluate(test_loader)
+    avg_edges = float(np.mean((causal_graphs > 0.1).sum(axis=(1, 2)))) \
+        if len(causal_graphs) else 0.0
+    print(f"Predictions: {predictions.shape}, range "
+          f"[{predictions.min():.4f}, {predictions.max():.4f}], "
+          f"avg causal edges {avg_edges:.1f}")
+    return predictions, causal_graphs
+
+
+test_trained_model.__test__ = False  # reference-named API, not a pytest test

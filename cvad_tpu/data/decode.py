@@ -84,7 +84,7 @@ def decode_frame(path: str, size: Tuple[int, int], grayscale: bool,
     """
     c = 1 if grayscale else 3
     try:
-        arr = _read(path, grayscale, backend)
+        arr = _read(path, grayscale, backend, size)
         if arr is None:
             raise IOError(f"decode failed: {path}")
         arr = resize_bilinear(arr.astype(np.float32), size)
@@ -97,12 +97,13 @@ def decode_frame(path: str, size: Tuple[int, int], grayscale: bool,
         return np.zeros((size[0], size[1], c), np.float32)
 
 
-def _read(path: str, grayscale: bool, backend: str) -> Optional[np.ndarray]:
+def _read(path: str, grayscale: bool, backend: str,
+          size: Optional[Tuple[int, int]] = None) -> Optional[np.ndarray]:
     if path.endswith(".npy"):
         arr = np.load(path)
         return arr if arr.ndim == 3 else arr[..., None]
     if backend in ("auto", "native"):
-        arr = _read_native(path)
+        arr = _read_native(path, size, 1 if grayscale else 3)
         if arr is not None:
             return arr
         if backend == "native":
@@ -125,16 +126,27 @@ def _read(path: str, grayscale: bool, backend: str) -> Optional[np.ndarray]:
     return None
 
 
-def _read_native(path: str) -> Optional[np.ndarray]:
-    """C++ decoder path for PGM/PPM/BMP; returns None for other formats."""
-    if not path.lower().endswith((".pgm", ".ppm", ".bmp")):
-        return None
+def _read_native(path: str, size: Optional[Tuple[int, int]] = None,
+                 channels: Optional[int] = None) -> Optional[np.ndarray]:
+    """C++ decoder path; covers whatever the built core supports — PNM/BMP/
+    TIFF always, JPEG/PNG when the codec headers were present at build time
+    (``native_decoder.supported_suffixes``).  Returns None for other formats
+    so the PIL/cv2 fallbacks take over.
+
+    When ``size``/``channels`` are given, the C++ core also does the
+    bilinear resize and gray<->rgb mapping (bit-compatible with
+    ``resize_bilinear`` — tests/test_data.py — and bilinear commutes with
+    channel averaging), so the caller's numpy resize becomes a no-op: the
+    per-frame path would otherwise be SLOWER than PIL (the numpy resize
+    dominated, scripts/bench_decode.py)."""
     try:
         lib = _native()
     except Exception:
         return None
     if lib is None:
         return None
-    from cvad_tpu.data.native_decoder import decode_file
+    from cvad_tpu.data.native_decoder import decode_file, supported_suffixes
 
-    return decode_file(lib, path)
+    if not path.lower().endswith(supported_suffixes()):
+        return None
+    return decode_file(lib, path, size=size, channels=channels)

@@ -69,14 +69,20 @@ def decode_file(lib: ctypes.CDLL, path: str,
                 ) -> Optional[np.ndarray]:
     """Decode one frame at native or requested size -> float32 HWC in [0,1]
     scaled back to [0,255] when used as a raw reader (decode.py normalizes)."""
-    h = ctypes.c_int()
-    w = ctypes.c_int()
-    c = ctypes.c_int()
-    if lib.cvad_probe(path.encode(), ctypes.byref(h), ctypes.byref(w),
-                      ctypes.byref(c)) != 0:
-        return None
-    oh, ow = size if size else (h.value, w.value)
-    oc = channels if channels else c.value
+    if size is not None and channels is not None:
+        # fully specified output: skip the probe (a second file read);
+        # cvad_decode_frame fails cleanly on undecodable input anyway
+        oh, ow = size
+        oc = channels
+    else:
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        if lib.cvad_probe(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                          ctypes.byref(c)) != 0:
+            return None
+        oh, ow = size if size else (h.value, w.value)
+        oc = channels if channels else c.value
     out = np.empty((oh, ow, oc), np.float32)
     rc = lib.cvad_decode_frame(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

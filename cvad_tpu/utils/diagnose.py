@@ -71,3 +71,69 @@ def diagnose_training_issues(history: Optional[Mapping] = None,
         if not warnings:
             print("  no issues detected")
     return {"metrics": metrics, "warnings": warnings}
+
+
+def debug_dataset_dtypes(dataset, num_samples: int = 3,
+                         verbose: bool = True) -> List[Dict]:
+    """Dataset dtype audit (``minicausal_vad_complete3.py:435-456``):
+    loads N samples, records shape/dtype/range, flags float64 leakage.
+    Returns one dict per sample instead of only printing."""
+    out: List[Dict] = []
+    for i in range(min(num_samples, len(dataset))):
+        try:
+            data, label = dataset[i]
+            data = np.asarray(data)
+            rec = {"index": i, "shape": tuple(data.shape),
+                   "dtype": str(data.dtype),
+                   "min": float(data.min()), "max": float(data.max()),
+                   "float64": data.dtype == np.float64
+                   or getattr(label, "dtype", None) == np.float64}
+            if verbose:
+                flag = "  WARNING: float64 leakage" if rec["float64"] else ""
+                print(f"sample {i}: {rec['shape']} {rec['dtype']} "
+                      f"[{rec['min']:.6f}, {rec['max']:.6f}]{flag}")
+        except Exception as e:  # the reference printed and continued
+            rec = {"index": i, "error": str(e)}
+            if verbose:
+                print(f"sample {i}: load error: {e}")
+        out.append(rec)
+    return out
+
+
+def smoke_test_model(verbose: bool = True) -> Dict:
+    """Pre-training model smoke test (``minicausal_vad_complete3.py:458-501``,
+    the reference's family-C gate): audit parameter dtypes (all float32),
+    run a random ``(2, 8, 64, 64, 1)`` forward, check output shape / [0,1]
+    range / NaN / Inf.  Returns {ok, param_dtype_issues, output_*}."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvad_tpu.models.family_c import Simple3DCNNDetector
+
+    model = Simple3DCNNDetector()
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 8, 64, 64, 1)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    issues = [jax.tree_util.keystr(path)
+              for path, leaf in jax.tree_util.tree_flatten_with_path(
+                  v["params"])[0]
+              if leaf.dtype != jnp.float32]
+    s = np.asarray(model.apply(v, x))
+    result = {
+        "ok": (not issues and s.shape == (2, 1)
+               and bool(np.all((s >= 0) & (s <= 1)))
+               and bool(np.all(np.isfinite(s)))),
+        "param_dtype_issues": issues,
+        "output_shape": tuple(s.shape),
+        "output_range": (float(s.min()), float(s.max())),
+        "has_nan": bool(np.isnan(s).any()),
+        "has_inf": bool(np.isinf(s).any()),
+    }
+    if verbose:
+        status = "passed" if result["ok"] else "FAILED"
+        print(f"model smoke test {status}: output {result['output_shape']} "
+              f"range [{result['output_range'][0]:.6f}, "
+              f"{result['output_range'][1]:.6f}]")
+        for name in issues:
+            print(f"  WARNING: non-float32 param {name}")
+    return result

@@ -156,3 +156,13 @@ def test_cli_synth_then_train(tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["epochs"] == 1 and res["final_loss"] > 0
+
+
+def test_cli_smoke(capsys):
+    import json as _json
+
+    from cvad_tpu.cli import main
+
+    assert main(["smoke"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] and out["output_shape"] == [2, 1]

@@ -6,7 +6,9 @@ import pytest
 
 from cvad_tpu.compat import (ImprovedMiniCausalVAD, MiniCausalVAD,
                              create_unsupervised_labels,
+                             setup_training_environment,
                              train_improved_minicausal_vad)
+from cvad_tpu.compat import test_trained_model as eval_trained_model
 
 
 def _loader(n_batches=2, b=4, torch_layout=True):
@@ -80,3 +82,24 @@ def test_improved_driver(tmp_path):
     assert len(history["evaluation_metrics"]) >= 1
     assert (tmp_path / "improved_training_history.json").exists()
     assert (tmp_path / "checkpoint_epoch_0.pth").exists()
+
+
+def test_setup_environment_and_test_trained_model(tmp_path, capsys):
+    """Driver-tail parity (avenue_training_script1.py:23-35, :293-313):
+    device probe + checkpoint-load-and-evaluate round trip."""
+    dev = setup_training_environment()
+    assert hasattr(dev, "platform")
+
+    model = MiniCausalVAD(device="cpu")
+    loader = _loader()
+    model.train_epoch(loader)
+    p = tmp_path / "best_model.pth"
+    model.save_model(str(p))
+    ref_pred, _, ref_graphs = model.evaluate(loader)
+
+    predictions, causal_graphs = eval_trained_model(
+        str(p), "unused", loaders=(loader, loader))
+    np.testing.assert_allclose(predictions, ref_pred, atol=1e-5)
+    assert causal_graphs.shape == ref_graphs.shape
+    out = capsys.readouterr().out
+    assert "avg causal edges" in out

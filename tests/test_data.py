@@ -318,6 +318,32 @@ def test_dataset_native_path_real_formats(tmp_path, fmt, monkeypatch):
     assert clip.std() > 0.01  # actually decoded, not zero-fallback
 
 
+@pytest.mark.parametrize("fmt", ["tif", "jpg", "png"])
+def test_decode_frame_native_backend_real_formats(tmp_path, fmt):
+    """The PER-FRAME decode path (VideoScorer / StreamingScorer use
+    decode_frame, not the clip batch call) routes tif/jpg/png through the
+    C++ core too, matching the PIL backend exactly."""
+    from PIL import Image
+
+    from cvad_tpu.data import decode
+    from cvad_tpu.data.native_decoder import load_library, supported_suffixes
+
+    if load_library() is None:
+        pytest.skip("native decoder unavailable")
+    if f".{fmt}" not in supported_suffixes():
+        pytest.skip(f"built without .{fmt} codec")
+    rng = np.random.default_rng(5)
+    arr = (np.outer(np.linspace(0, 255, 40), np.ones(48))
+           + rng.normal(0, 2, (40, 48))).clip(0, 255).astype(np.uint8)
+    p = tmp_path / f"frame.{fmt}"
+    Image.fromarray(arr).save(p)
+    native = decode.decode_frame(str(p), (32, 32), grayscale=True,
+                                 backend="native")
+    pil = decode.decode_frame(str(p), (32, 32), grayscale=True, backend="pil")
+    assert native.std() > 0.01  # decoded, not the zero fallback
+    np.testing.assert_allclose(native, pil, atol=1e-6)
+
+
 def test_batch_loader_producer_error_surfaces():
     """Regression (self-review finding): a mid-epoch decode failure must
     raise to the caller, not end the epoch early with partial data."""

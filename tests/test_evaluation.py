@@ -207,3 +207,21 @@ def test_detector_explicit_backend_errors():
 
     with pytest.raises(RuntimeError):
         setup_detector("opencv")  # no local weights supplied
+
+
+def test_debug_dataset_dtypes_and_smoke():
+    """The reference's inline pre-training gates
+    (minicausal_vad_complete3.py:435-501) as structured utilities."""
+    from cvad_tpu.config import DataConfig
+    from cvad_tpu.data.datasets import SyntheticClipDataset
+    from cvad_tpu.utils.diagnose import debug_dataset_dtypes, smoke_test_model
+
+    ds = SyntheticClipDataset(DataConfig(clip_len=8, frame_size=(16, 16)), n=4)
+    recs = debug_dataset_dtypes(ds, num_samples=2, verbose=False)
+    assert len(recs) == 2
+    assert recs[0]["dtype"] == "float32" and not recs[0]["float64"]
+
+    result = smoke_test_model(verbose=False)
+    assert result["ok"]
+    assert result["param_dtype_issues"] == []
+    assert result["output_shape"] == (2, 1)
