@@ -78,6 +78,12 @@ def cmd_train(args) -> int:
 
     trainer = Trainer(cfg)
     train_loader, eval_loader = make_loaders(cfg, n_synthetic=args.n_synthetic)
+    if getattr(args, "resume", False):
+        # restores params/opt/history/scheduler from the latest checkpoint in
+        # out_dir — including a rolling 'mid' (intra-epoch) checkpoint, which
+        # resumes the interrupted epoch at the exact batch
+        restored = trainer.restore(train_loader.sample_batch())
+        print(json.dumps({"resumed_from": restored}))
     if args.profile_dir:
         # profile the first epoch (SURVEY.md §5 tracing: the reference has
         # wall-clock timing only; this captures a full device trace)
@@ -283,6 +289,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--n-synthetic", type=int, default=256)
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first epoch")
+    t.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in out_dir "
+                        "(supports intra-epoch 'mid' checkpoints)")
     t.add_argument("--set", action="append", metavar="SEC.KEY=VAL",
                    help="config override, e.g. --set optim.lr=1e-4")
     t.set_defaults(fn=cmd_train)

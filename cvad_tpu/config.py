@@ -316,6 +316,11 @@ class TrainConfig(_Base):
     # >1: run K train steps per jit call via lax.scan over K pre-staged
     # batches — amortizes per-dispatch latency (one device call instead of K)
     steps_per_call: int = 1
+    # >0: preemption-safe mid-epoch checkpointing — save a rolling 'mid'
+    # checkpoint (state + partial metric accumulator + batch index) every N
+    # steps; Trainer.restore resumes the interrupted epoch at the exact batch
+    # (deterministic shuffle replay), bit-identical to the uninterrupted run
+    save_every_steps: int = 0
 
 
 @dataclass(frozen=True)

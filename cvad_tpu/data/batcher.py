@@ -92,9 +92,24 @@ class BatchLoader:
         n = min(self.batch_size, len(self.dataset))
         return self._collate(np.arange(n))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch: the NEXT iteration uses ``seed + epoch``'s
+        permutation.  The trainer ties shuffle order to the global training
+        epoch so a resumed run replays the interrupted run's batch order
+        exactly (torch ``DistributedSampler.set_epoch`` analog)."""
+        self._epoch = epoch - 1
+
+    def iter_from(self, skip: int) -> Iterator[Dict[str, np.ndarray]]:
+        """This epoch's iterator starting at batch index ``skip`` — identical
+        shuffle, skipped batches never decoded (mid-epoch resume)."""
+        return self._iter(skip)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self._iter(0)
+
+    def _iter(self, skip: int) -> Iterator[Dict[str, np.ndarray]]:
         self._epoch += 1
-        batches = list(self._batch_indices())
+        batches = list(self._batch_indices())[skip:]
         if not batches:
             return iter(())
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -53,6 +53,7 @@ class Trainer:
         self._jit_train = None
         self._jit_eval = None
         self._best = None
+        self._mid_resume = None  # set by restore() from a 'mid' checkpoint
 
     # -- setup ---------------------------------------------------------------
 
@@ -165,8 +166,15 @@ class Trainer:
         restored step or None if no checkpoint exists."""
         if self.state is None:
             self.init_state(sample_batch)
+        self._mid_resume = None
         if step == "latest":
             step = self.ckpt.latest_step()
+            # a 'mid' (intra-epoch) checkpoint supersedes the last epoch
+            # checkpoint iff it belongs to a LATER epoch; an older leftover
+            # 'mid' is stale and ignored
+            mid = (self.ckpt.restore_history("mid") or {}).get("_mid")
+            if mid and (step is None or int(mid["epoch"]) > step):
+                step = "mid"
         if step is None:
             return None
         template = jax.device_get(self.state)
@@ -174,6 +182,7 @@ class Trainer:
         self.state = jax.device_put(restored, replicated(self.mesh))
         hist = self.ckpt.restore_history(step)
         if hist:
+            self._mid_resume = hist.pop("_mid", None)
             sched = hist.pop("_scheduler", None)
             # restore the best-metric watermark: without it, the first eval
             # after a resume would overwrite the 'best' checkpoint with a
@@ -192,15 +201,47 @@ class Trainer:
                 "_scheduler": self.scheduler.state_dict(),
                 "_best": self._best}
 
+    def _save_mid(self, epoch: int, count: int, total_vec) -> None:
+        """Rolling preemption checkpoint: state + the in-progress epoch's
+        batch index and partial metric accumulator, so `restore` + `fit`
+        continue the epoch at the exact batch (bit-identical to the
+        uninterrupted run — tests/test_resume.py)."""
+        payload = {**self._ckpt_payload(),
+                   "_mid": {"epoch": int(epoch), "count": int(count),
+                            "metric_vec": [float(x)
+                                           for x in np.asarray(total_vec)]}}
+        self.ckpt.save("mid", self.state, history=payload)
+
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
-                    epoch: int, record: bool = True) -> Dict[str, float]:
+                    epoch: int, record: bool = True, skip_batches: int = 0,
+                    initial: Optional[Dict] = None) -> Dict[str, float]:
         assert self.state is not None, "call init_state first"
         count = 0
         timer = StepTimer()
         nd = self.mesh.shape["data"]  # batch shards over 'data' only
         total_vec = None  # device accumulator — no per-step host sync
+        # shuffle order follows the global training epoch so interrupted runs
+        # replay the same batch sequence on resume
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        source: Iterable = loader
+        if skip_batches:  # mid-epoch resume: continue at the exact batch
+            if hasattr(loader, "iter_from"):
+                source = loader.iter_from(skip_batches)
+            else:
+                import itertools
+
+                source = itertools.islice(iter(loader), skip_batches, None)
+        if initial is not None:  # restored partial metric accumulator
+            import jax.numpy as jnp
+
+            total_vec = jnp.asarray(np.asarray(initial["metric_vec"],
+                                               np.float32))
+            count = int(initial["count"])
+        save_every = self.cfg.train.save_every_steps if record else 0
+        next_save = (count // save_every + 1) * save_every if save_every else 0
         k = max(1, self.cfg.train.steps_per_call)
         if k > 1:
             # full chunks arrive stacked (K, B, ...) for the scanned
@@ -216,7 +257,7 @@ class Trainer:
                     return self._put_stacked(item)
                 return _shard(self.mesh, item, time_dim=self._time_dim)
 
-            feed = DevicePrefetcher(_chunk_batches(loader, k, nd),
+            feed = DevicePrefetcher(_chunk_batches(source, k, nd),
                                     put_fn=put_fn)
             for item in feed:
                 if item["clips"].ndim == 6:  # stacked chunk
@@ -228,13 +269,19 @@ class Trainer:
                                                       self._rng)
                     count += 1
                 total_vec = vec if total_vec is None else total_vec + vec
+                if next_save and count >= next_save:
+                    self._save_mid(epoch, count, total_vec)
+                    next_save = (count // save_every + 1) * save_every
         else:
-            feed = DevicePrefetcher(loader, self.mesh, pad_to_multiple=nd,
+            feed = DevicePrefetcher(source, self.mesh, pad_to_multiple=nd,
                                     time_dim=self._time_dim)
             for batch in feed:
                 self.state, vec = self._jit_train(self.state, batch, self._rng)
                 total_vec = vec if total_vec is None else total_vec + vec
                 count += 1
+                if next_save and count >= next_save:
+                    self._save_mid(epoch, count, total_vec)
+                    next_save = (count // save_every + 1) * save_every
                 # tick EVERY step (rate = count/elapsed); ticking only on
                 # log steps understated steps_per_s by a factor of log_every
                 t = timer.tick()
@@ -341,7 +388,14 @@ class Trainer:
         start_epoch = self.history.last_epoch + 1
         since_best = 0
         for epoch in range(start_epoch, cfg.num_epochs + 1):
-            avg = self.train_epoch(train_loader, epoch)
+            mid = self._mid_resume
+            if mid is not None and int(mid["epoch"]) == epoch:
+                self._mid_resume = None  # consume: applies to this epoch only
+                avg = self.train_epoch(train_loader, epoch,
+                                       skip_batches=int(mid["count"]),
+                                       initial=mid)
+            else:
+                avg = self.train_epoch(train_loader, epoch)
             self.logger.log("epoch", epoch=epoch, **{k: v for k, v in avg.items()})
             is_eval = (eval_loader is not None
                        and ((epoch - 1) % cfg.eval_every == 0

@@ -115,3 +115,104 @@ def test_restore_keeps_best_watermark(tmp_path):
     tr2 = Trainer(_cfg(tmp_path, 2), mesh=_mesh1())
     tr2.restore(next(iter(train_loader)))
     assert tr2._best == tr1._best
+
+
+class _Interrupted(Exception):
+    pass
+
+
+class _InterruptingLoader:
+    """Delegate to a BatchLoader but raise after yielding `fail_after`
+    batches in total (across epochs) — simulates a preemption mid-epoch."""
+
+    def __init__(self, inner, fail_after):
+        self.inner = inner
+        self.left = fail_after
+
+    def __getattr__(self, name):  # set_epoch / sample_batch / iter_from ...
+        return getattr(self.inner, name)
+
+    def __iter__(self):
+        for b in self.inner:
+            if self.left <= 0:
+                raise _Interrupted()
+            self.left -= 1
+            yield b
+
+
+def test_midepoch_resume_bit_identical(tmp_path):
+    """`save_every_steps` preemption checkpointing: a run killed mid-epoch
+    and resumed from the rolling 'mid' checkpoint finishes with params,
+    optimizer state, and history BIT-IDENTICAL to the uninterrupted run —
+    deterministic shuffle replay (`BatchLoader.set_epoch`/`iter_from`) plus
+    the restored partial metric accumulator make the step sequence exact."""
+    import pytest
+
+    cfg_a = _cfg(tmp_path / "a", 2)
+    cfg_a = cfg_a.replace(data=cfg_a.data.replace(batch_size=4))
+    tr_a = Trainer(cfg_a, mesh=_mesh1())
+    loader_a, _ = make_loaders(cfg_a, n_synthetic=24)  # 6 batches/epoch
+    hist_a = tr_a.fit(loader_a)
+
+    cfg_b = cfg_a.replace(train=cfg_a.train.replace(
+        out_dir=str(tmp_path / "b"), save_every_steps=2))
+    tr_b = Trainer(cfg_b, mesh=_mesh1())
+    loader_b, _ = make_loaders(cfg_b, n_synthetic=24)
+    # dies while pulling epoch 2's 4th batch; last 'mid' save was at step 2
+    with pytest.raises(_Interrupted):
+        tr_b.fit(_InterruptingLoader(loader_b, 9))
+
+    tr_b2 = Trainer(cfg_b, mesh=_mesh1())
+    assert tr_b2.restore(loader_b.sample_batch()) is not None
+    assert tr_b2._mid_resume is not None
+    assert int(tr_b2._mid_resume["epoch"]) == 2
+    hist_b = tr_b2.fit(loader_b)
+
+    assert hist_b["epochs"] == hist_a["epochs"]
+    np.testing.assert_array_equal(hist_b["train_losses"],
+                                  hist_a["train_losses"])
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr_a.state)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr_b2.state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stale_mid_checkpoint_ignored(tmp_path):
+    """A leftover 'mid' checkpoint from an epoch that later completed must
+    NOT win over the newer epoch checkpoint on restore."""
+    cfg = _cfg(tmp_path, 2)
+    cfg = cfg.replace(data=cfg.data.replace(batch_size=4),
+                      train=cfg.train.replace(save_every_steps=3))
+    tr = Trainer(cfg, mesh=_mesh1())
+    loader, _ = make_loaders(cfg, n_synthetic=16)
+    tr.fit(loader)  # mid saves happen, but epochs 1-2 complete after them
+
+    tr2 = Trainer(cfg, mesh=_mesh1())
+    assert tr2.restore(loader.sample_batch()) is not None
+    assert tr2._mid_resume is None  # epoch ckpt (2) >= mid's epoch
+    assert tr2.history.last_epoch == 2
+
+
+def test_family_b_resume_restores_memory_bank(tmp_path):
+    """The family-B train step carries the memory bank as TrainState.extra
+    (functional ring buffer, SURVEY.md §7 hard part #2); a resume must bring
+    back the exact bank contents, write pointer, and fill count."""
+    cfg = preset("family_b")  # decoder renders fixed 64x64: keep frame_size
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=8),
+        train=cfg.train.replace(num_epochs=1, eval_every=10**9,
+                                save_interval=1, log_every=10**9,
+                                out_dir=str(tmp_path / "b")))
+    tr1 = Trainer(cfg, mesh=_mesh1())
+    train_loader, _ = make_loaders(cfg, n_synthetic=16)
+    tr1.fit(train_loader)
+    extra1 = jax.device_get(tr1.state.extra)
+    assert int(extra1.fill) > 0  # normal samples were written to the bank
+
+    tr2 = Trainer(cfg.replace(train=cfg.train.replace(num_epochs=2)),
+                  mesh=_mesh1())
+    assert tr2.restore(train_loader.sample_batch()) is not None
+    extra2 = jax.device_get(tr2.state.extra)
+    np.testing.assert_array_equal(np.asarray(extra1.memory),
+                                  np.asarray(extra2.memory))
+    assert int(extra1.ptr) == int(extra2.ptr)
+    assert int(extra1.fill) == int(extra2.fill)
