@@ -3,6 +3,7 @@
   cvad train      — the five training recipes as presets
                     (avenue_training_script2.py main, minicausal_vad_complete3,
                     causal_anomaly_detection{,1}, video_anomaly_detection)
+  cvad eval       — standalone checkpoint evaluation (test_model analog)
   cvad score      — sliding-window full-video scoring + anomalous-clip
                     extraction (avenue_training_script_bbox.py inference path)
   cvad report     — bbox visualization + JSON/HTML report (AnomalyVisualizer)
@@ -95,6 +96,43 @@ def cmd_train(args) -> int:
     history = trainer.fit(train_loader, eval_loader)
     print(json.dumps({"final_loss": history["train_losses"][-1],
                       "epochs": len(history["epochs"])}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Standalone checkpoint evaluation — the reference ``test_model``
+    analog (`causal_anomaly_detection.py:796-835`,
+    `avenue_training_script2.py:265-297`) as a driver: restore a training
+    run's checkpoint ('latest', 'best', 'mid', or an epoch number) and run
+    the family's full eval surface over a test loader."""
+    from cvad_tpu.train.engine import Trainer, make_loaders
+    from cvad_tpu.utils.json_utils import safe_json_save
+
+    cfg = preset(args.preset)
+    if args.data_root:
+        cfg = cfg.replace(data=cfg.data.replace(
+            root=args.data_root, dataset=args.dataset or cfg.data.dataset))
+    elif args.dataset:
+        cfg = cfg.replace(data=cfg.data.replace(dataset=args.dataset))
+    if args.out:
+        cfg = cfg.replace(train=cfg.train.replace(out_dir=args.out))
+    cfg = _apply_overrides(cfg, args.set)
+
+    trainer = Trainer(cfg)
+    _, eval_loader = make_loaders(cfg, n_synthetic=args.n_synthetic)
+    step = int(args.step) if str(args.step).isdigit() else args.step
+    restored = trainer.restore(eval_loader.sample_batch(), step=step)
+    if restored is None:
+        print(json.dumps({"error": "no checkpoint found",
+                          "out_dir": cfg.train.out_dir}))
+        return 1
+    metrics = trainer.evaluate(eval_loader)
+    scalar = {k: float(v) for k, v in metrics.items()
+              if isinstance(v, (int, float)) and np.isfinite(v)}
+    safe_json_save({**scalar, "checkpoint": str(step), "epoch": restored},
+                   Path(cfg.train.out_dir) / "eval_metrics.json",
+                   verbose=False)
+    print(json.dumps({"checkpoint": str(step), "epoch": restored, **scalar}))
     return 0
 
 
@@ -295,6 +333,19 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--set", action="append", metavar="SEC.KEY=VAL",
                    help="config override, e.g. --set optim.lr=1e-4")
     t.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("eval", help="evaluate a training run's checkpoint "
+                                     "(reference test_model analog)")
+    ev.add_argument("--preset", default="avenue_improved")
+    ev.add_argument("--dataset", default=None)
+    ev.add_argument("--data-root", default=None)
+    ev.add_argument("--out", default=None,
+                    help="training out_dir holding the checkpoints")
+    ev.add_argument("--step", default="latest",
+                    help="latest|best|mid|<epoch number>")
+    ev.add_argument("--n-synthetic", type=int, default=64)
+    ev.add_argument("--set", action="append", metavar="SEC.KEY=VAL")
+    ev.set_defaults(fn=cmd_eval)
 
     for name, fn in (("score", cmd_score), ("report", cmd_report)):
         s = sub.add_parser(name)

@@ -20,6 +20,31 @@ def test_cli_train_synthetic(tmp_path, capsys):
     assert (tmp_path / "improved_training_history.json").exists()
 
 
+def test_cli_eval_checkpoint(tmp_path, capsys):
+    """`cvad eval` restores a run's checkpoint and reports the family's
+    eval metrics (reference test_model analog as a standalone driver)."""
+    common = ["--out", str(tmp_path), "--n-synthetic", "8",
+              "--set", "data.batch_size=4", "--set", "data.frame_size=16,16"]
+    assert main(["train", "--preset", "avenue_improved", "--epochs", "1",
+                 "--set", "train.save_interval=1",
+                 "--set", "train.log_every=1000000"] + common) == 0
+    capsys.readouterr()
+    rc = main(["eval", "--preset", "avenue_improved", "--step", "latest"]
+              + common)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epoch"] == 1
+    assert np.isfinite(out["mean_score"])  # family-D 8-metric eval surface
+    assert (tmp_path / "eval_metrics.json").exists()
+
+    # missing checkpoint -> rc 1, structured error
+    rc = main(["eval", "--preset", "avenue_improved",
+               "--out", str(tmp_path / "empty"), "--n-synthetic", "8",
+               "--set", "data.batch_size=4",
+               "--set", "data.frame_size=16,16"])
+    assert rc == 1
+
+
 def test_cli_bad_override(tmp_path):
     with pytest.raises(AttributeError):
         main(["train", "--out", str(tmp_path), "--set", "optim.nonexistent=1"])

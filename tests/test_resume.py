@@ -176,6 +176,43 @@ def test_midepoch_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_midepoch_resume_scanned_multistep(tmp_path):
+    """Same preemption/resume contract on the `steps_per_call>1` scanned
+    path: mid saves land on chunk boundaries, the resumed run re-chunks the
+    remaining batches, and the final state is bit-identical to the
+    uninterrupted scanned run (scan lowers differently from single steps,
+    so the oracle must be the same-k run — test_train.py equivalence is
+    only ~5e-4)."""
+    import pytest
+
+    cfg_a = _cfg(tmp_path / "a", 2)
+    cfg_a = cfg_a.replace(data=cfg_a.data.replace(batch_size=4),
+                          train=cfg_a.train.replace(steps_per_call=2))
+    tr_a = Trainer(cfg_a, mesh=_mesh1())
+    loader_a, _ = make_loaders(cfg_a, n_synthetic=24)
+    tr_a.fit(loader_a)
+
+    cfg_b = cfg_a.replace(train=cfg_a.train.replace(
+        out_dir=str(tmp_path / "b"), save_every_steps=2))
+    tr_b = Trainer(cfg_b, mesh=_mesh1())
+    loader_b, _ = make_loaders(cfg_b, n_synthetic=24)
+    # 11 = epoch 1's 6 batches + 5 more: epoch 2 steps chunk [1,2] (mid save
+    # at count=2) and dies while chunk [5,6] is being prefetched
+    with pytest.raises(_Interrupted):
+        tr_b.fit(_InterruptingLoader(loader_b, 11))
+
+    tr_b2 = Trainer(cfg_b, mesh=_mesh1())
+    assert tr_b2.restore(loader_b.sample_batch()) is not None
+    assert tr_b2._mid_resume is not None
+    assert int(tr_b2._mid_resume["epoch"]) == 2
+    tr_b2.fit(loader_b)
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr_a.state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr_b2.state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+
 def test_stale_mid_checkpoint_ignored(tmp_path):
     """A leftover 'mid' checkpoint from an epoch that later completed must
     NOT win over the newer epoch checkpoint on restore."""
