@@ -71,6 +71,12 @@ class BatchLoader:
             yield idx[s:s + self.batch_size]
 
     def _collate(self, indices) -> Dict[str, np.ndarray]:
+        if hasattr(self.dataset, "warm_frames"):
+            # one threaded native decode of ALL the batch's missing frames —
+            # overlapping clip windows in the batch share frames, and the
+            # per-item pool below would decode each shared frame once per
+            # window (racing threads can't see each other's cache fills)
+            self.dataset.warm_frames([int(i) for i in indices])
         use_u8 = (self.transfer_dtype == "uint8"
                   and hasattr(self.dataset, "get_uint8"))
         get = self.dataset.get_uint8 if use_u8 else self.dataset.__getitem__

@@ -25,10 +25,14 @@ from cvad_tpu.data.synthetic import make_synthetic_clips
 class ClipDataset:
     """Frame-folder clip dataset: decode-on-access with optional memoization.
 
-    With ``cfg.cache_decoded`` (default), each clip is decoded once and kept
-    as uint8 in RAM (4x smaller than f32); later epochs skip the decode
-    entirely — the reference re-decoded every frame every epoch, its true
-    input bottleneck (SURVEY.md §2 native-component note).
+    With ``cfg.cache_decoded`` (default), each FRAME is decoded once and kept
+    as resized uint8 in RAM (4x smaller than f32); clips assemble from cached
+    frames.  Frame-level (rather than clip-level) memoization means
+    overlapping windows (stride < clip_len: every reference recipe) never
+    re-decode their shared frames — the cold epoch decodes each frame exactly
+    once — and RAM holds each frame once instead of clip_len/stride times.
+    The reference re-decoded every frame of every window every epoch, its
+    true input bottleneck (SURVEY.md §2 native-component note).
     """
 
     def __init__(self, clips: Sequence[ClipSpec], labels: np.ndarray,
@@ -37,7 +41,12 @@ class ClipDataset:
         self.clips = list(clips)
         self.labels = np.asarray(labels, np.float32)
         self.cfg = cfg
-        self._cache: dict = {} if cfg.cache_decoded else None
+        # two tiers, both uint8, both GIL-atomic-dict safe under the
+        # BatchLoader thread pool (a duplicate decode in two threads is
+        # benign): _frames dedups the decode, _cache makes warm epochs a
+        # single dict hit per clip
+        self._cache: dict = {} if cfg.cache_decoded else None  # idx -> clip
+        self._frames: dict = {} if cfg.cache_decoded else None  # path -> frame
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -56,14 +65,43 @@ class ClipDataset:
             clip = np.clip(clip, lo, hi)  # family B clamp (:113-114)
         return clip, self.labels[idx]
 
+    def warm_frames(self, indices: Sequence[int]) -> None:
+        """Decode every not-yet-cached frame these clips reference in ONE
+        (internally threaded) native call — the BatchLoader calls this before
+        collating a batch so overlapping windows in the same batch neither
+        race to decode their shared frames nor decode them twice."""
+        if self._frames is None:
+            return
+        need, seen = [], set()
+        for i in indices:
+            if i in self._cache:
+                continue
+            for p in self.clips[i].frames:
+                if p not in self._frames and p not in seen:
+                    seen.add(p)
+                    need.append(p)
+        if need:
+            dec8 = np.round(self._decode_clip(need) * 255.0
+                            ).astype(np.uint8)
+            for p, f in zip(need, dec8):
+                self._frames[p] = f
+
     def get_uint8(self, idx: int) -> Tuple[np.ndarray, np.float32]:
         """Raw uint8 clip for the low-bandwidth transfer path (normalize
         happens on device)."""
-        if self._cache is not None and idx in self._cache:
-            return self._cache[idx], self.labels[idx]
-        clip = self._decode_clip(self.clips[idx].frames)
-        clip8 = np.round(clip * 255.0).astype(np.uint8)
-        if self._cache is not None:
+        paths = self.clips[idx].frames
+        if self._cache is None:
+            clip = self._decode_clip(paths)
+            return np.round(clip * 255.0).astype(np.uint8), self.labels[idx]
+        clip8 = self._cache.get(idx)
+        if clip8 is None:
+            missing = [p for p in paths if p not in self._frames]
+            if missing:  # only frames no other window brought in yet
+                dec8 = np.round(self._decode_clip(missing) * 255.0
+                                ).astype(np.uint8)
+                for p, f in zip(missing, dec8):
+                    self._frames[p] = f
+            clip8 = np.stack([self._frames[p] for p in paths])
             self._cache[idx] = clip8
         return clip8, self.labels[idx]
 

@@ -202,6 +202,30 @@ def test_uint8_transfer_and_cache(video_tree):
     assert b["clips"].dtype == np.uint8
 
 
+def test_frame_cache_equals_uncached(video_tree):
+    """The two-tier frame/clip cache (overlapping windows decode each frame
+    once; batch-level warm_frames) must be byte-identical to the uncached
+    decode path, through the BatchLoader with overlapping stride-4 windows."""
+    batches = {}
+    for cache in (False, True):
+        cfg = DataConfig(clip_len=8, stride=4, frame_size=(16, 16), channels=1,
+                         cache_decoded=cache, transfer_dtype="uint8")
+        ds = UCSDPed2Dataset(video_tree, "Train", cfg)
+        loader = BatchLoader(ds, 4, transfer_dtype="uint8")
+        batches[cache] = [b for b in loader]
+    for b0, b1 in zip(batches[False], batches[True]):
+        np.testing.assert_array_equal(b0["clips"], b1["clips"])
+        np.testing.assert_array_equal(b0["labels"], b1["labels"])
+    # the warm path returns the SAME assembled clip object (single dict hit)
+    ds_cached = UCSDPed2Dataset(
+        video_tree, "Train",
+        DataConfig(clip_len=8, stride=4, frame_size=(16, 16), channels=1,
+                   cache_decoded=True))
+    first, _ = ds_cached.get_uint8(0)
+    again, _ = ds_cached.get_uint8(0)
+    assert first is again
+
+
 def test_prep_clips_device_normalize():
     import jax.numpy as jnp
 
