@@ -110,6 +110,24 @@ class HostShardDataset:
         return self.dataset[self._offset + idx]
 
     def __getattr__(self, name):  # passthrough (cfg, frame lists, ...)
+        # index-taking protocol methods must translate shard-local indices
+        # to the inner dataset's global ones; a bare passthrough would hand
+        # the inner dataset local indices — every host beyond process 0
+        # would silently train on shard 0's clips (uint8 transfer path).
+        # Implemented here (not as class methods) so hasattr() still
+        # reflects whether the INNER dataset supports the protocol.
+        if name == "get_uint8":
+            inner = getattr(self.dataset, name)
+            offset, length = self._offset, self._length
+            def get_uint8(idx):
+                if not 0 <= idx < length:
+                    raise IndexError(idx)
+                return inner(offset + idx)
+            return get_uint8
+        if name == "warm_frames":
+            inner = getattr(self.dataset, name)
+            offset = self._offset
+            return lambda indices: inner([offset + int(i) for i in indices])
         return getattr(self.dataset, name)
 
 

@@ -52,6 +52,43 @@ def test_host_shard_dataset_partitions_exactly():
         shards[0][len(shards[0])]
 
 
+def test_host_shard_translates_index_protocols():
+    """Regression: `get_uint8`/`warm_frames` reached the inner dataset via
+    bare attribute passthrough, handing it SHARD-LOCAL indices — every host
+    beyond process 0 would silently train on shard 0's clips through the
+    uint8 transfer path, and warm the wrong frames."""
+
+    class _U8Dataset(_ToyDataset):
+        def __init__(self, n):
+            super().__init__(n)
+            self.warmed = []
+
+        def get_uint8(self, i):
+            return np.full((2, 4, 4, 1), i, np.uint8), np.float32(i % 2)
+
+        def warm_frames(self, indices):
+            self.warmed.extend(int(i) for i in indices)
+
+    ds = _U8Dataset(100)
+    shard1 = multihost.HostShardDataset(ds, 1, 2)  # global offset 50
+    clip, _ = shard1.get_uint8(0)
+    assert int(clip[0, 0, 0, 0]) == 50
+    with pytest.raises(IndexError):
+        shard1.get_uint8(len(shard1))
+    shard1.warm_frames([0, 3])
+    assert ds.warmed == [50, 53]
+    # the protocol stays invisible when the inner dataset lacks it
+    assert not hasattr(multihost.HostShardDataset(_ToyDataset(10), 0, 2),
+                       "get_uint8")
+    # and the uint8 loader path end-to-end picks the right shard
+    loader = multihost.make_host_loader(ds, 8, process_index=1,
+                                        process_count=2, num_threads=1,
+                                        transfer_dtype="uint8")
+    batch = next(iter(loader))
+    assert batch["clips"].dtype == np.uint8
+    assert int(batch["clips"][0, 0, 0, 0, 0]) == 50
+
+
 def test_host_shard_matches_host_local_slice():
     ds = _ToyDataset(64)
     for pc in (1, 2, 8):
