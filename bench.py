@@ -39,7 +39,7 @@ PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) peak dense bf16 FLOP/s per chip
 
 def measure_framework(dtype: str = "bfloat16", reps: int = 3,
                       steps_per_call: int = STEPS_PER_CALL,
-                      report_mfu: bool = False):
+                      report_mfu: bool = False, iters: int = 0):
     """Full train-step throughput (forward + 5-term loss + backward + AdamW).
 
     Uses the engine's production input path: uint8 host->device transfer
@@ -84,8 +84,10 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3,
     # experimental PJRT backends; a data-dependent fetch cannot lie)
     best = 0.0
     # keep each timed window >= ~0.5s of device work so relay jitter averages
-    # out (a handful of dispatches per window under-measures by 20%+)
-    iters = max(30, ITERS // k)
+    # out (a handful of dispatches per window under-measures by 20%+);
+    # explicit `iters` overrides (the CPU-fallback path, where 30 dispatches
+    # of 256 clips would take tens of minutes)
+    iters = iters or max(30, ITERS // k)
     for _ in range(reps):  # best-of-N: the tunneled chip has large run variance
         t0 = time.perf_counter()
         total = None
@@ -385,10 +387,67 @@ def measure_reference_baseline() -> float:
     return cps
 
 
+def _device_probe(timeout_s: float) -> bool:
+    """`jax.devices()` in a subprocess with a hard timeout.  The axon relay
+    can wedge indefinitely (observed: >2h hangs on first device contact);
+    probing in-process would hang the whole bench and the driver would get
+    NO artifact line at all."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode == 0:
+            log(f"device probe ok: {r.stdout.strip()}")
+            return True
+        log(f"device probe failed rc={r.returncode}: {r.stderr[-200:]}")
+    except subprocess.TimeoutExpired:
+        log(f"device probe timed out after {timeout_s:.0f}s")
+    return False
+
+
+def _reexec_cpu_fallback() -> None:
+    """Replace this process with a CPU-pinned bench run (drops the axon
+    sitecustomize from PYTHONPATH so the wedged plugin never registers).
+    The artifact line then records platform=cpu-fallback — an honest
+    JAX-on-host-CPU vs torch-on-host-CPU comparison — instead of nothing."""
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CVAD_PLATFORM"] = "cpu"
+    env["CVAD_BENCH_FALLBACK"] = "1"
+    os.execve(sys.executable, [sys.executable, str(Path(__file__).absolute())],
+              env)
+
+
 def main() -> None:
     import contextlib
+    import os
 
-    value, mfu = measure_framework("bfloat16", report_mfu=True)
+    fallback = os.environ.get("CVAD_BENCH_FALLBACK") == "1"
+    if not fallback:
+        # two bounded probes (a healthy tunnel answers in seconds; cold
+        # compiles are slow but device DISCOVERY is not), then CPU fallback
+        if not (_device_probe(180) or _device_probe(180)):
+            log("accelerator unreachable (relay wedged): falling back to "
+                "host-CPU JAX so the bench artifact exists; these are NOT "
+                "TPU numbers")
+            _reexec_cpu_fallback()
+
+    if fallback:
+        # f32 (CPU bf16 is software-emulated: a 40-minute run, measured) and
+        # few iters — the artifact must exist within the driver's patience
+        value = measure_framework("float32", reps=1, steps_per_call=1,
+                                  iters=6)
+        mfu = float("nan")
+    else:
+        value, mfu = measure_framework("bfloat16", report_mfu=True)
     try:
         # the reference prints banners at construction; keep stdout pure JSON
         with contextlib.redirect_stdout(sys.stderr):
@@ -400,13 +459,23 @@ def main() -> None:
     # the contract line goes out as soon as the headline metric exists, so a
     # harness timeout during the (slower) context sweep below can only ever
     # truncate stderr context, never the stdout artifact
-    print(json.dumps({
+    line = {
         "metric": "train_clips_per_sec",
         "value": round(value, 2),
         "unit": "clips/s",
         "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
         "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
-    }), flush=True)
+    }
+    if fallback:
+        line["platform"] = "cpu-fallback"  # relay was wedged; not TPU numbers
+        line["mfu"] = None  # the MFU constant is the TPU peak
+        line["note"] = ("TPU relay unreachable after bounded probes; this is "
+                        "JAX-on-host-CPU vs torch-on-host-CPU, not a TPU "
+                        "number (see BENCH history for TPU runs)")
+    print(json.dumps(line), flush=True)
+    if fallback:
+        log("cpu-fallback: skipping the TPU context sweep")
+        return
     try:
         measure_framework("bfloat16", reps=1, steps_per_call=1)  # per-dispatch
         measure_framework("float32", reps=1)

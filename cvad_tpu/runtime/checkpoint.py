@@ -68,6 +68,14 @@ class CheckpointManager:
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
 
+    def remove(self, step) -> None:
+        """Delete a checkpoint (e.g. the rolling 'mid' preemption snapshot
+        once its training run completed)."""
+        import shutil
+
+        self._ckptr.wait_until_finished()
+        shutil.rmtree(self._step_dir(step), ignore_errors=True)
+
     def _gc(self) -> None:
         steps = sorted(self.directory.glob("step_*"))
         for p in steps[: max(0, len(steps) - self.max_to_keep)]:

@@ -425,6 +425,11 @@ class Trainer:
                 self.logger.log("reloaded_best", best=self._best)
             except Exception as e:  # noqa: BLE001 — no best saved yet
                 self.logger.log("reload_best_failed", error=str(e))
+        if cfg.save_every_steps:
+            # the run completed: drop the rolling preemption snapshot so a
+            # later restore can't pick a final-epoch 'mid' over the last
+            # interval checkpoint and needlessly replay that epoch's tail
+            self.ckpt.remove("mid")
         self.logger.log("done", epochs=cfg.num_epochs,
                         total_s=time.time() - t0)
         self.ckpt.wait()

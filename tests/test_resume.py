@@ -214,15 +214,19 @@ def test_midepoch_resume_scanned_multistep(tmp_path):
 
 
 def test_stale_mid_checkpoint_ignored(tmp_path):
-    """A leftover 'mid' checkpoint from an epoch that later completed must
-    NOT win over the newer epoch checkpoint on restore."""
+    """A completed fit removes the rolling 'mid' snapshot, and even a
+    leftover one from an epoch that later completed must NOT win over the
+    newer epoch checkpoint on restore."""
     cfg = _cfg(tmp_path, 2)
     cfg = cfg.replace(data=cfg.data.replace(batch_size=4),
                       train=cfg.train.replace(save_every_steps=3))
     tr = Trainer(cfg, mesh=_mesh1())
     loader, _ = make_loaders(cfg, n_synthetic=16)
-    tr.fit(loader)  # mid saves happen, but epochs 1-2 complete after them
+    tr.fit(loader)  # mid saves happen, but the completed run removes them
+    assert not (tr.out_dir / "checkpoints" / "mid").exists()
 
+    # plant a stale mid (as if a crash left one from epoch 2's interior)
+    tr._save_mid(2, 1, np.zeros(len(tr._metric_keys), np.float32))
     tr2 = Trainer(cfg, mesh=_mesh1())
     assert tr2.restore(loader.sample_batch()) is not None
     assert tr2._mid_resume is None  # epoch ckpt (2) >= mid's epoch
