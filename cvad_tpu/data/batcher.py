@@ -121,28 +121,45 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: list = []
+        cancel = threading.Event()  # set when the consumer abandons the epoch
+
+        def _put(item) -> bool:
+            # bounded-queue put that gives up once cancelled, so an abandoned
+            # iterator can never strand its producer thread on q.put forever
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in batches:
-                    q.put(self._collate(b))
+                    if not _put(self._collate(b)):
+                        return  # consumer gone: stop decoding
             except BaseException as e:  # surface to the consumer: a silently
                 err.append(e)           # truncated epoch would corrupt
             finally:                    # metrics/schedule/checkpoints
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
         def gen():
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    if err:
-                        raise RuntimeError(
-                            "BatchLoader producer failed mid-epoch") from err[0]
-                    break
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is sentinel:
+                        if err:
+                            raise RuntimeError(
+                                "BatchLoader producer failed mid-epoch"
+                            ) from err[0]
+                        break
+                    yield item
+            finally:
+                cancel.set()  # normal end OR abandoned mid-epoch (gen.close)
 
         return gen()
 

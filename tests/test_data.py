@@ -202,6 +202,29 @@ def test_uint8_transfer_and_cache(video_tree):
     assert b["clips"].dtype == np.uint8
 
 
+def test_abandoned_epoch_releases_producer(video_tree):
+    """An abandoned epoch iterator (preemption, early break) must not strand
+    its producer thread on the bounded queue forever."""
+    import gc
+    import threading
+    import time
+
+    cfg = DataConfig(clip_len=8, stride=4, frame_size=(16, 16), channels=1)
+    ds = UCSDPed2Dataset(video_tree, "Train", cfg)
+    loader = BatchLoader(ds, 2, num_threads=1, prefetch=1)
+    # warm the decode pool so its worker threads don't skew the count
+    loader.sample_batch()
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)  # producer alive, likely blocked on the full queue
+    del it  # abandon: gen.close() -> cancel set -> producer exits
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
 def test_frame_cache_equals_uncached(video_tree):
     """The two-tier frame/clip cache (overlapping windows decode each frame
     once; batch-level warm_frames) must be byte-identical to the uncached
