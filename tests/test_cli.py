@@ -37,6 +37,13 @@ def test_cli_eval_checkpoint(tmp_path, capsys):
     assert np.isfinite(out["mean_score"])  # family-D 8-metric eval surface
     assert (tmp_path / "eval_metrics.json").exists()
 
+    # the 'best' checkpoint (saved by the epoch-1 eval) is addressable too
+    rc = main(["eval", "--preset", "avenue_improved", "--step", "best"]
+              + common)
+    assert rc == 0
+    best = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert best["checkpoint"] == "best" and np.isfinite(best["mean_score"])
+
     # missing checkpoint -> rc 1, structured error
     rc = main(["eval", "--preset", "avenue_improved",
                "--out", str(tmp_path / "empty"), "--n-synthetic", "8",
