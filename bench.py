@@ -473,19 +473,37 @@ def main() -> None:
                         "JAX-on-host-CPU vs torch-on-host-CPU, not a TPU "
                         "number (see BENCH history for TPU runs)")
     print(json.dumps(line), flush=True)
+    context = {"headline": line, "measured_at": time.time()}
+    out_path = Path(__file__).parent / "runs" / "bench_latest.json"
     if fallback:
         log("cpu-fallback: skipping the TPU context sweep")
+        _write_context(out_path, context)
         return
     try:
-        measure_framework("bfloat16", reps=1, steps_per_call=1)  # per-dispatch
-        measure_framework("float32", reps=1)
-        measure_long_window()
-        measure_family_b()
-        measure_inference()
-        measure_input_pipeline()
-        measure_end_to_end_epoch()
+        context["train_bf16_per_dispatch_cps"] = measure_framework(
+            "bfloat16", reps=1, steps_per_call=1)
+        context["train_f32_cps"] = measure_framework("float32", reps=1)
+        context["long_window_t64_cps"] = measure_long_window()
+        context["family_b_cps"] = measure_family_b()
+        context["inference_fps"] = measure_inference()
+        context["native_decode_fps"] = measure_input_pipeline()
+        context["end_to_end_epoch_cps"] = measure_end_to_end_epoch()
     except Exception as e:  # context metrics are best-effort
         log(f"context metrics failed: {e}")
+    _write_context(out_path, context)
+
+
+def _write_context(path: Path, context: dict) -> None:
+    """Persist the full sweep next to the one-line contract artifact so perf
+    claims in README/PARITY are re-checkable from a saved file."""
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        clean = {k: (None if isinstance(v, float) and not np.isfinite(v)
+                     else v) for k, v in context.items()}
+        path.write_text(json.dumps(clean, indent=1))
+        log(f"context written to {path}")
+    except Exception as e:
+        log(f"context write failed: {e}")
 
 
 if __name__ == "__main__":
