@@ -116,6 +116,43 @@ def test_native_decoder_zero_fallback(tmp_path):
     assert out is not None and np.all(out == 0)
 
 
+def test_native_decoder_corrupt_inputs_fall_to_zero(tmp_path):
+    """Corrupt/truncated/garbage files through every native format parser
+    (hand-rolled TIFF/PNM/BMP + libjpeg/libpng) must hit the zero-frame
+    fallback — never crash, hang, or return junk (the reference substituted
+    zero frames on decode errors, minicausal_vad_complete3.py:205-207)."""
+    import pytest
+    from PIL import Image
+
+    from cvad_tpu.data.native_decoder import decode_clip, load_library
+
+    if load_library() is None:
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (24, 32)).astype(np.uint8)
+    cases = []
+    for fmt in ("tif", "png", "jpg", "bmp", "pgm"):
+        ok = tmp_path / f"ok.{fmt}"
+        arr = np.stack([img] * 3, -1) if fmt == "jpg" else img
+        Image.fromarray(arr).save(ok)
+        raw = ok.read_bytes()
+        garbled = bytearray(raw)
+        for i in range(8, min(len(garbled), 200), 7):
+            garbled[i] = int(rng.integers(0, 256))
+        for name, data in (("trunc8", raw[:8]), ("half", raw[:len(raw) // 2]),
+                           ("garble", bytes(garbled)), ("empty", b""),
+                           ("rand", rng.integers(0, 256, 512, dtype=np.uint8)
+                            .tobytes())):
+            p = tmp_path / f"{name}.{fmt}"
+            p.write_bytes(data)
+            cases.append(str(p))
+    cases.append(str(tmp_path / "huge.tif"))
+    (tmp_path / "huge.tif").write_bytes(raw[:4] + b"\xff" * 64)
+    out = decode_clip(cases, (8, 8), 1)
+    assert out is not None and out.shape == (len(cases), 8, 8, 1)
+    np.testing.assert_array_equal(out, 0.0)
+
+
 def test_normalize_clamp():
     cfg = DataConfig(normalize_clamp=(0.001, 0.999), channels=1,
                      frame_size=(16, 16))
