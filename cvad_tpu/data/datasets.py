@@ -103,6 +103,10 @@ class ClipDataset:
                     self._frames[p] = f
             clip8 = np.stack([self._frames[p] for p in paths])
             self._cache[idx] = clip8
+            if len(self._cache) == len(self.clips) and self._frames:
+                # every clip is assembled: the frame tier is dead weight
+                # (~1/overlap of the clip tier) — release it
+                self._frames = {}
         return clip8, self.labels[idx]
 
     def _decode_clip(self, paths: Sequence[str]) -> np.ndarray:
