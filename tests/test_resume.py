@@ -213,6 +213,46 @@ def test_midepoch_resume_scanned_multistep(tmp_path):
                                    rtol=0, atol=0)
 
 
+def test_midepoch_resume_family_b_memory_bank(tmp_path):
+    """Mid-epoch preemption with NON-PARAMETER step state: the family-B
+    memory bank (TrainState.extra ring buffer, SURVEY.md §7 hard part #2)
+    must come back from the 'mid' snapshot and the resumed run must end with
+    bit-identical params AND bank contents/pointer/fill."""
+    import pytest
+
+    base = preset("family_b")  # decoder renders fixed 64x64: keep frame_size
+    cfg_a = base.replace(
+        data=base.data.replace(batch_size=4),
+        train=base.train.replace(num_epochs=2, eval_every=10**9,
+                                 save_interval=1, log_every=10**9,
+                                 out_dir=str(tmp_path / "a")))
+    tr_a = Trainer(cfg_a, mesh=_mesh1())
+    loader_a, _ = make_loaders(cfg_a, n_synthetic=24)
+    tr_a.fit(loader_a)
+
+    cfg_b = cfg_a.replace(train=cfg_a.train.replace(
+        out_dir=str(tmp_path / "b"), save_every_steps=2))
+    tr_b = Trainer(cfg_b, mesh=_mesh1())
+    loader_b, _ = make_loaders(cfg_b, n_synthetic=24)
+    with pytest.raises(_Interrupted):
+        tr_b.fit(_InterruptingLoader(loader_b, 9))
+
+    tr_b2 = Trainer(cfg_b, mesh=_mesh1())
+    assert tr_b2.restore(loader_b.sample_batch()) is not None
+    assert tr_b2._mid_resume is not None
+    tr_b2.fit(loader_b)
+
+    ex_a = jax.device_get(tr_a.state.extra)
+    ex_b = jax.device_get(tr_b2.state.extra)
+    np.testing.assert_array_equal(np.asarray(ex_a.memory),
+                                  np.asarray(ex_b.memory))
+    assert int(ex_a.ptr) == int(ex_b.ptr)
+    assert int(ex_a.fill) == int(ex_b.fill)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr_a.state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr_b2.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stale_mid_checkpoint_ignored(tmp_path):
     """A completed fit removes the rolling 'mid' snapshot, and even a
     leftover one from an epoch that later completed must NOT win over the
