@@ -17,6 +17,18 @@ os.environ.setdefault("CVAD_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 
+# The suite is CPU-only by design. Under the axon env a wedged TPU relay
+# makes backend DISCOVERY hang in any process where the plugin registered —
+# even jax.devices("cpu"). Setting JAX_PLATFORMS=cpu in the environment
+# does NOT help: the axon sitecustomize imports jax at interpreter startup,
+# latching JAX_PLATFORMS=axon into the config before any user code runs.
+# Re-pointing the latched config restricts discovery to the cpu backend
+# (the axon factory stays registered, so 'tpu' remains a known platform for
+# pallas lowering registrations — do NOT pop backend factories, measured to
+# break that).
+if os.environ.get("CVAD_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 # NOTE: no persistent compilation cache here — the axon remote-compile
 # service shares it and pollutes it with executables built for a different
 # host CPU (XLA then warns about SIGILL risk when loading them).
