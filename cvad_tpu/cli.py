@@ -14,6 +14,8 @@
   cvad export     — AOT serving artifact (jax.export StableHLO + weights)
   cvad serve      — HTTP scoring endpoint over the batching service
   cvad synth      — synthetic dataset tree (exercise the real IO path)
+  cvad doctor     — environment diagnosis (device probe with timeout,
+                    decode backends, native decoder, reference checkout)
 
 Usage: ``python -m cvad_tpu.cli <command> [...]``.  Every hard-coded constant
 of the reference is a ``--set section.key=value`` override here.
@@ -294,6 +296,48 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnosis: accelerator reachability (probed in a
+    subprocess with a hard timeout — a wedged PJRT relay hangs any
+    in-process backend discovery), decode backends, native decoder, and
+    reference-checkout presence.  One JSON object on stdout."""
+    import os
+    import subprocess
+
+    info: dict = {}
+    from cvad_tpu.data.native_decoder import load_library, supported_suffixes
+
+    info["native_decoder"] = load_library() is not None
+    info["native_formats"] = sorted(supported_suffixes() or ())
+    for mod in ("PIL", "cv2", "torch"):
+        try:
+            __import__(mod)
+            info[f"has_{mod.lower()}"] = True
+        except Exception:
+            info[f"has_{mod.lower()}"] = False
+    info["reference_present"] = os.path.isdir("/root/reference")
+    info["cvad_platform"] = os.environ.get("CVAD_PLATFORM")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, json; "
+             "print(json.dumps([str(d) for d in jax.devices()]))"],
+            capture_output=True, text=True, timeout=args.probe_timeout)
+        if r.returncode == 0:
+            info["devices"] = json.loads(r.stdout.strip().splitlines()[-1])
+            info["device_probe"] = "ok"
+        else:
+            info["device_probe"] = "error"
+            info["device_probe_detail"] = r.stderr[-300:]
+    except subprocess.TimeoutExpired:
+        info["device_probe"] = "timeout"
+        info["device_probe_detail"] = (
+            f"backend discovery did not answer within {args.probe_timeout}s "
+            "(wedged relay?); CPU-only work: PYTHONPATH= JAX_PLATFORMS=cpu")
+    print(json.dumps(info))
+    return 0 if info["device_probe"] == "ok" else 1
+
+
 def cmd_synth(args) -> int:
     """Write a synthetic UCSD-style frame-folder tree (Train/Test splits,
     per-video frame folders) so the real disk -> decode -> train path can be
@@ -404,6 +448,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--warmup", action="store_true",
                     help="compile every bucket before accepting traffic")
     sv.set_defaults(fn=cmd_serve)
+
+    dr = sub.add_parser("doctor", help="environment diagnosis (device "
+                                       "probe, decode backends, reference)")
+    dr.add_argument("--probe-timeout", type=float, default=60.0)
+    dr.set_defaults(fn=cmd_doctor)
 
     sy = sub.add_parser("synth", help="write a synthetic dataset tree")
     sy.add_argument("--out", default="synthetic_ucsd")

@@ -52,6 +52,29 @@ def test_cli_eval_checkpoint(tmp_path, capsys):
     assert rc == 1
 
 
+def test_cli_doctor(capsys):
+    """`cvad doctor` reports environment health as one JSON object; the
+    device probe runs in a subprocess with a timeout so a wedged PJRT relay
+    can't hang the diagnosis itself."""
+    import os
+
+    env = {k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+    os.environ["PYTHONPATH"] = ""  # probe subprocess: clean CPU env
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        rc = main(["doctor", "--probe-timeout", "90"])
+    finally:
+        for k, v in env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["device_probe"] == "ok"
+    assert out["native_decoder"] and ".tif" in out["native_formats"]
+    assert out["reference_present"] in (True, False)
+
+
 def test_cli_bad_override(tmp_path):
     with pytest.raises(AttributeError):
         main(["train", "--out", str(tmp_path), "--set", "optim.nonexistent=1"])
