@@ -269,6 +269,28 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _probe_devices(timeout_s: float):
+    """``jax.devices()`` in a subprocess with a hard timeout.  A wedged PJRT
+    relay hangs backend discovery in ANY process where the plugin
+    registered, so reachability must be checked out-of-process.  Returns
+    ``(status, detail)`` with status ok|error|timeout."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, json; "
+             "print(json.dumps([str(d) for d in jax.devices()]))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return "ok", json.loads(r.stdout.strip().splitlines()[-1])
+        return "error", r.stderr[-300:]
+    except subprocess.TimeoutExpired:
+        return "timeout", (f"backend discovery did not answer within "
+                           f"{timeout_s:.0f}s (wedged relay?); CPU-only "
+                           "work: PYTHONPATH= JAX_PLATFORMS=cpu")
+
+
 def cmd_serve(args) -> int:
     """Run the HTTP scoring endpoint (``evaluation/http_service.py``):
     bucket-padded batched inference with dynamic request coalescing, over
@@ -278,6 +300,14 @@ def cmd_serve(args) -> int:
     from cvad_tpu.evaluation.http_service import (ScoringHTTPServer,
                                                   service_from_path)
 
+    if args.probe_timeout > 0:
+        # fail fast with a structured error instead of hanging at first
+        # model compile when the accelerator relay is wedged
+        status, detail = _probe_devices(args.probe_timeout)
+        if status != "ok":
+            print(json.dumps({"error": "accelerator unreachable",
+                              "device_probe": status, "detail": detail}))
+            return 1
     svc = service_from_path(
         args.model, family=args.family,
         buckets=tuple(int(b) for b in args.buckets.split(",")))
@@ -302,7 +332,6 @@ def cmd_doctor(args) -> int:
     in-process backend discovery), decode backends, native decoder, and
     reference-checkout presence.  One JSON object on stdout."""
     import os
-    import subprocess
 
     info: dict = {}
     from cvad_tpu.data.native_decoder import load_library, supported_suffixes
@@ -317,25 +346,14 @@ def cmd_doctor(args) -> int:
             info[f"has_{mod.lower()}"] = False
     info["reference_present"] = os.path.isdir("/root/reference")
     info["cvad_platform"] = os.environ.get("CVAD_PLATFORM")
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, json; "
-             "print(json.dumps([str(d) for d in jax.devices()]))"],
-            capture_output=True, text=True, timeout=args.probe_timeout)
-        if r.returncode == 0:
-            info["devices"] = json.loads(r.stdout.strip().splitlines()[-1])
-            info["device_probe"] = "ok"
-        else:
-            info["device_probe"] = "error"
-            info["device_probe_detail"] = r.stderr[-300:]
-    except subprocess.TimeoutExpired:
-        info["device_probe"] = "timeout"
-        info["device_probe_detail"] = (
-            f"backend discovery did not answer within {args.probe_timeout}s "
-            "(wedged relay?); CPU-only work: PYTHONPATH= JAX_PLATFORMS=cpu")
+    status, detail = _probe_devices(args.probe_timeout)
+    info["device_probe"] = status
+    if status == "ok":
+        info["devices"] = detail
+    else:
+        info["device_probe_detail"] = detail
     print(json.dumps(info))
-    return 0 if info["device_probe"] == "ok" else 1
+    return 0 if status == "ok" else 1
 
 
 def cmd_synth(args) -> int:
@@ -447,6 +465,9 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="max_wait_ms")
     sv.add_argument("--warmup", action="store_true",
                     help="compile every bucket before accepting traffic")
+    sv.add_argument("--probe-timeout", type=float, default=120.0,
+                    help="device reachability check before loading the "
+                         "model (0 disables)")
     sv.set_defaults(fn=cmd_serve)
 
     dr = sub.add_parser("doctor", help="environment diagnosis (device "
