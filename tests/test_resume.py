@@ -213,6 +213,41 @@ def test_midepoch_resume_scanned_multistep(tmp_path):
                                    rtol=0, atol=0)
 
 
+def test_midepoch_resume_on_dp_sp_mesh(tmp_path):
+    """Preemption/resume on the 4x2 DP x SP mesh (clips' T axis sharded
+    over 'time', GSPMD halo exchanges): the resumed sharded run must be
+    bit-identical to the uninterrupted sharded run."""
+    import pytest
+
+    def _mesh():
+        return create_mesh(data_axis=4, temporal_axis=2,
+                           devices=jax.devices("cpu")[:8])
+
+    cfg_a = _cfg(tmp_path / "a", 2)
+    cfg_a = cfg_a.replace(data=cfg_a.data.replace(batch_size=8))
+    tr_a = Trainer(cfg_a, mesh=_mesh())
+    loader_a, _ = make_loaders(cfg_a, n_synthetic=24)  # 3 batches/epoch
+    tr_a.fit(loader_a)
+
+    cfg_b = cfg_a.replace(train=cfg_a.train.replace(
+        out_dir=str(tmp_path / "b"), save_every_steps=1))
+    tr_b = Trainer(cfg_b, mesh=_mesh())
+    loader_b, _ = make_loaders(cfg_b, n_synthetic=24)
+    # epoch 1's 3 batches + 2: epoch 2 steps batch 1 (mid save), dies
+    # while batch 3 is being prefetched
+    with pytest.raises(_Interrupted):
+        tr_b.fit(_InterruptingLoader(loader_b, 5))
+
+    tr_b2 = Trainer(cfg_b, mesh=_mesh())
+    assert tr_b2.restore(loader_b.sample_batch()) is not None
+    assert tr_b2._mid_resume is not None
+    tr_b2.fit(loader_b)
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr_a.state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr_b2.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_midepoch_resume_family_b_memory_bank(tmp_path):
     """Mid-epoch preemption with NON-PARAMETER step state: the family-B
     memory bank (TrainState.extra ring buffer, SURVEY.md §7 hard part #2)
