@@ -388,39 +388,27 @@ def measure_reference_baseline() -> float:
 
 
 def _device_probe(timeout_s: float) -> bool:
-    """`jax.devices()` in a subprocess with a hard timeout.  The axon relay
-    can wedge indefinitely (observed: >2h hangs on first device contact);
-    probing in-process would hang the whole bench and the driver would get
-    NO artifact line at all."""
-    import subprocess
+    """Reachability check via the shared out-of-process probe (the axon
+    relay can wedge indefinitely — observed >2h hangs on first device
+    contact; probing in-process would hang the whole bench and the driver
+    would get NO artifact line at all)."""
+    from cvad_tpu.runtime.doctor import probe_devices
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=timeout_s, capture_output=True, text=True)
-        if r.returncode == 0:
-            log(f"device probe ok: {r.stdout.strip()}")
-            return True
-        log(f"device probe failed rc={r.returncode}: {r.stderr[-200:]}")
-    except subprocess.TimeoutExpired:
-        log(f"device probe timed out after {timeout_s:.0f}s")
-    return False
+    status, detail = probe_devices(timeout_s)
+    log(f"device probe {status}: {detail}")
+    return status == "ok"
 
 
 def _reexec_cpu_fallback() -> None:
-    """Replace this process with a CPU-pinned bench run (drops the axon
-    sitecustomize from PYTHONPATH so the wedged plugin never registers).
-    The artifact line then records platform=cpu-fallback — an honest
-    JAX-on-host-CPU vs torch-on-host-CPU comparison — instead of nothing."""
+    """Replace this process with a CPU-pinned bench run (axon sitecustomize
+    stripped so the wedged plugin never registers).  The artifact line then
+    records platform=cpu-fallback — an honest JAX-on-host-CPU vs
+    torch-on-host-CPU comparison — instead of nothing."""
     import os
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon_site" not in p)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["CVAD_PLATFORM"] = "cpu"
+    from cvad_tpu.runtime.doctor import cpu_only_env
+
+    env = cpu_only_env()
     env["CVAD_BENCH_FALLBACK"] = "1"
     os.execve(sys.executable, [sys.executable, str(Path(__file__).absolute())],
               env)

@@ -123,10 +123,17 @@ def cmd_eval(args) -> int:
     trainer = Trainer(cfg)
     _, eval_loader = make_loaders(cfg, n_synthetic=args.n_synthetic)
     step = int(args.step) if str(args.step).isdigit() else args.step
-    restored = trainer.restore(eval_loader.sample_batch(), step=step)
+    try:
+        restored = trainer.restore(eval_loader.sample_batch(), step=step)
+    except Exception as e:  # explicit --step ('best'/'mid'/N) not on disk:
+        restored = None      # keep the structured-error contract, no traceback
+        detail = str(e)
+    else:
+        detail = None
     if restored is None:
-        print(json.dumps({"error": "no checkpoint found",
-                          "out_dir": cfg.train.out_dir}))
+        print(json.dumps({"error": "no checkpoint found", "step": str(step),
+                          "out_dir": cfg.train.out_dir,
+                          **({"detail": detail[-300:]} if detail else {})}))
         return 1
     metrics = trainer.evaluate(eval_loader)
     scalar = {k: float(v) for k, v in metrics.items()
@@ -269,28 +276,6 @@ def cmd_export(args) -> int:
     return 0
 
 
-def _probe_devices(timeout_s: float):
-    """``jax.devices()`` in a subprocess with a hard timeout.  A wedged PJRT
-    relay hangs backend discovery in ANY process where the plugin
-    registered, so reachability must be checked out-of-process.  Returns
-    ``(status, detail)`` with status ok|error|timeout."""
-    import subprocess
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, json; "
-             "print(json.dumps([str(d) for d in jax.devices()]))"],
-            capture_output=True, text=True, timeout=timeout_s)
-        if r.returncode == 0:
-            return "ok", json.loads(r.stdout.strip().splitlines()[-1])
-        return "error", r.stderr[-300:]
-    except subprocess.TimeoutExpired:
-        return "timeout", (f"backend discovery did not answer within "
-                           f"{timeout_s:.0f}s (wedged relay?); CPU-only "
-                           "work: PYTHONPATH= JAX_PLATFORMS=cpu")
-
-
 def cmd_serve(args) -> int:
     """Run the HTTP scoring endpoint (``evaluation/http_service.py``):
     bucket-padded batched inference with dynamic request coalescing, over
@@ -303,7 +288,9 @@ def cmd_serve(args) -> int:
     if args.probe_timeout > 0:
         # fail fast with a structured error instead of hanging at first
         # model compile when the accelerator relay is wedged
-        status, detail = _probe_devices(args.probe_timeout)
+        from cvad_tpu.runtime.doctor import probe_devices
+
+        status, detail = probe_devices(args.probe_timeout)
         if status != "ok":
             print(json.dumps({"error": "accelerator unreachable",
                               "device_probe": status, "detail": detail}))
@@ -346,7 +333,9 @@ def cmd_doctor(args) -> int:
             info[f"has_{mod.lower()}"] = False
     info["reference_present"] = os.path.isdir("/root/reference")
     info["cvad_platform"] = os.environ.get("CVAD_PLATFORM")
-    status, detail = _probe_devices(args.probe_timeout)
+    from cvad_tpu.runtime.doctor import probe_devices
+
+    status, detail = probe_devices(args.probe_timeout)
     info["device_probe"] = status
     if status == "ok":
         info["devices"] = detail

@@ -144,10 +144,12 @@ class BatchLoader:
             finally:                    # metrics/schedule/checkpoints
                 _put(sentinel)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-
         def gen():
+            # start the producer HERE, not in _iter: a generator that is
+            # created but never advanced never runs its finally (close() is
+            # a no-op on an unstarted generator), so a thread started
+            # eagerly could never be cancelled
+            threading.Thread(target=producer, daemon=True).start()
             try:
                 while True:
                     item = q.get()

@@ -70,21 +70,22 @@ class ClipDataset:
         (internally threaded) native call — the BatchLoader calls this before
         collating a batch so overlapping windows in the same batch neither
         race to decode their shared frames nor decode them twice."""
-        if self._frames is None:
+        frames = self._frames  # local ref: survives a concurrent release
+        if frames is None:
             return
         need, seen = [], set()
         for i in indices:
             if i in self._cache:
                 continue
             for p in self.clips[i].frames:
-                if p not in self._frames and p not in seen:
+                if p not in frames and p not in seen:
                     seen.add(p)
                     need.append(p)
         if need:
             dec8 = np.round(self._decode_clip(need) * 255.0
                             ).astype(np.uint8)
             for p, f in zip(need, dec8):
-                self._frames[p] = f
+                frames[p] = f
 
     def get_uint8(self, idx: int) -> Tuple[np.ndarray, np.float32]:
         """Raw uint8 clip for the low-bandwidth transfer path (normalize
@@ -95,17 +96,25 @@ class ClipDataset:
             return np.round(clip * 255.0).astype(np.uint8), self.labels[idx]
         clip8 = self._cache.get(idx)
         if clip8 is None:
-            missing = [p for p in paths if p not in self._frames]
+            # local ref throughout: a concurrent release (below) swaps
+            # self._frames but cannot pull entries out from under an
+            # in-flight assembly (interrupted-epoch producers can overlap a
+            # resumed epoch on the same dataset)
+            frames = self._frames
+            missing = [p for p in paths if p not in frames]
             if missing:  # only frames no other window brought in yet
                 dec8 = np.round(self._decode_clip(missing) * 255.0
                                 ).astype(np.uint8)
                 for p, f in zip(missing, dec8):
-                    self._frames[p] = f
-            clip8 = np.stack([self._frames[p] for p in paths])
+                    frames[p] = f
+            clip8 = np.stack([frames[p] for p in paths])
             self._cache[idx] = clip8
             if len(self._cache) == len(self.clips) and self._frames:
                 # every clip is assembled: the frame tier is dead weight
-                # (~1/overlap of the clip tier) — release it
+                # (~1/overlap of the clip tier) — release it.  (Runs whose
+                # access never covers ALL clips — host shards, drop_last
+                # tails — keep the tier resident; acceptable, it is the
+                # smaller of the two.)
                 self._frames = {}
         return clip8, self.labels[idx]
 

@@ -41,9 +41,31 @@ class CheckpointManager:
              wait: bool = False) -> Path:
         path = self._step_dir(step)
         if path.exists():
+            # crash-safe overwrite (the rolling 'mid' preemption snapshot is
+            # rewritten every save_every_steps): serialize the NEW checkpoint
+            # fully into a sibling tmp dir first, then swap with two renames.
+            # Deleting the old one before the (multi-second) serialize would
+            # open a window where a preemption loses BOTH snapshots — the
+            # exact event 'mid' exists to survive.
             import shutil
 
-            shutil.rmtree(path)
+            # "_tmp."/"_old." PREFIXES: suffixed names would match the
+            # step_* glob and break latest_step()/_gc()
+            tmp = path.with_name("_tmp." + path.name)
+            old = path.with_name("_old." + path.name)
+            for p in (tmp, old):
+                if p.exists():
+                    shutil.rmtree(p)
+            self._ckptr.save(tmp, state)
+            self._ckptr.wait_until_finished()
+            if history is not None:
+                safe_json_save(dict(history), tmp / "history.json",
+                               verbose=False)
+            path.rename(old)
+            tmp.rename(path)  # crash between renames: falls back to epoch ckpt
+            shutil.rmtree(old, ignore_errors=True)
+            self._gc()
+            return path
         self._ckptr.save(path, state)
         if wait:
             self._ckptr.wait_until_finished()

@@ -51,6 +51,15 @@ def test_cli_eval_checkpoint(tmp_path, capsys):
                "--set", "data.frame_size=16,16"])
     assert rc == 1
 
+    # an EXPLICIT missing step ('mid' was removed by the completed fit)
+    # must also yield the structured error, not an orbax traceback
+    capsys.readouterr()
+    rc = main(["eval", "--preset", "avenue_improved", "--step", "mid"]
+              + common)
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert err["error"] == "no checkpoint found" and err["step"] == "mid"
+
 
 def test_cli_doctor(capsys):
     """`cvad doctor` reports environment health as one JSON object; the

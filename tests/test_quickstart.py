@@ -17,13 +17,12 @@ def test_quickstart_lifecycle(tmp_path):
         f" '--clips', '8', '--serve', '--out', {str(tmp_path)!r}]\n"
         f"exec(open({str(REPO / 'examples' / 'quickstart.py')!r}).read())\n"
     )
-    env = dict(os.environ, CVAD_PLATFORM="cpu", JAX_PLATFORMS="cpu")
     # the subprocess must not register the axon plugin: under a wedged TPU
     # relay its backend discovery hangs (jax.devices('cpu') included) and
-    # this test times out — strip the sitecustomize path
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon_site" not in p)
+    # this test times out
+    from cvad_tpu.runtime.doctor import cpu_only_env
+
+    env = cpu_only_env()
     r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
                        text=True, timeout=540, cwd=REPO, env=env)
     assert r.returncode == 0, r.stdout + r.stderr
