@@ -40,6 +40,10 @@ class CheckpointManager:
     def save(self, step, state: Any, history: Optional[Mapping] = None,
              wait: bool = False) -> Path:
         path = self._step_dir(step)
+        # an async save of the SAME step may still be committing — settle it
+        # so the existence check below can't race (orbax refuses to save over
+        # an existing directory)
+        self._ckptr.wait_until_finished()
         if path.exists():
             # crash-safe overwrite (the rolling 'mid' preemption snapshot is
             # rewritten every save_every_steps): serialize the NEW checkpoint

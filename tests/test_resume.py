@@ -117,6 +117,33 @@ def test_restore_keeps_best_watermark(tmp_path):
     assert tr2._best == tr1._best
 
 
+def test_checkpoint_overwrite_atomic_and_crash_tolerant(tmp_path):
+    """Overwriting a checkpoint (the rolling 'mid' snapshot) serializes to a
+    tmp dir and swaps — and recovers from leftover _tmp./_old. dirs of a
+    crashed earlier save; the rename prefixes must stay invisible to
+    latest_step()/the step_* GC."""
+    import jax.numpy as jnp
+
+    from cvad_tpu.runtime.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path / "ck")
+    state = {"w": jnp.arange(4.0)}
+    ckpt.save("mid", state, history={"epochs": [1]})
+    # simulate a crashed prior overwrite: stale tmp/old leftovers on disk
+    (tmp_path / "ck" / "_tmp.mid").mkdir()
+    (tmp_path / "ck" / "_old.mid").mkdir()
+    ckpt.save("mid", {"w": jnp.arange(4.0) * 2}, history={"epochs": [1, 2]})
+    restored = ckpt.restore("mid", {"w": np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [0, 2, 4, 6])
+    assert ckpt.restore_history("mid")["epochs"] == [1, 2]
+    assert not (tmp_path / "ck" / "_tmp.mid").exists()
+    assert not (tmp_path / "ck" / "_old.mid").exists()
+    # prefix names never pollute the step_* namespace
+    ckpt.save(3, state)
+    ckpt.save(3, state, history={"epochs": [3]})  # int-step overwrite too
+    assert ckpt.latest_step() == 3
+
+
 class _Interrupted(Exception):
     pass
 
