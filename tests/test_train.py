@@ -276,6 +276,29 @@ def test_detector_bias_init(tmp_path):
         MaskedPedestrianDetector._BIAS, np.float32))
 
 
+def test_train_epoch_skip_batches_generic_iterable(tmp_path):
+    """`skip_batches` on a loader WITHOUT iter_from (plain list) drops the
+    leading batches via islice — state must equal feeding the tail only."""
+    cfg = _small(preset("family_d"), tmp_path, epochs=1, batch=8, hw=(16, 16))
+    rng = np.random.default_rng(7)
+    batches = [{"clips": rng.uniform(0, 1, (8, 8, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(8, np.float32)} for _ in range(4)]
+
+    tr1 = Trainer(cfg, mesh=_mesh1())
+    tr1.init_state(batches[0])
+    tr1.train_epoch(list(batches), epoch=1, skip_batches=2)
+
+    tr2 = Trainer(cfg.replace(train=cfg.train.replace(
+        out_dir=str(tmp_path / "tail"))), mesh=_mesh1())
+    tr2.init_state(batches[0])
+    tr2.train_epoch(list(batches[2:]), epoch=1)
+
+    assert int(jax.device_get(tr1.state.step)) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr1.state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_steps_per_call_equivalence(tmp_path):
     """K scanned steps in one jit call == K sequential single-step calls."""
     cfg = _small(preset("family_d"), tmp_path, epochs=1, batch=8, hw=(16, 16))
