@@ -92,7 +92,8 @@ def cmd_train(args) -> int:
         # wall-clock timing only; this captures a full device trace)
         from cvad_tpu.runtime.metrics import profile_trace
 
-        trainer.init_state(next(iter(train_loader)))
+        if trainer.state is None:  # --resume already restored real state;
+            trainer.init_state(next(iter(train_loader)))  # don't re-randomize
         with profile_trace(args.profile_dir):
             trainer.train_epoch(train_loader, epoch=0, record=False)
     history = trainer.fit(train_loader, eval_loader)
@@ -120,15 +121,24 @@ def cmd_eval(args) -> int:
         cfg = cfg.replace(train=cfg.train.replace(out_dir=args.out))
     cfg = _apply_overrides(cfg, args.set)
 
+    from cvad_tpu.data.batcher import BatchLoader
+    from cvad_tpu.data.datasets import build_dataset
+
     trainer = Trainer(cfg)
-    _, eval_loader = make_loaders(cfg, n_synthetic=args.n_synthetic)
+    # test split only — evaluation never touches the training dataset, so
+    # don't pay its scan/synthesis cost (make_loaders builds both)
+    eval_loader = BatchLoader(
+        build_dataset(cfg.data, "Test", max(args.n_synthetic // 2, 2)),
+        cfg.data.batch_size, shuffle=False,
+        num_threads=cfg.data.num_decode_threads, prefetch=cfg.data.prefetch,
+        transfer_dtype=cfg.data.transfer_dtype)
     step = int(args.step) if str(args.step).isdigit() else args.step
     try:
         restored = trainer.restore(eval_loader.sample_batch(), step=step)
-    except Exception as e:  # explicit --step ('best'/'mid'/N) not on disk:
-        restored = None      # keep the structured-error contract, no traceback
-        detail = str(e)
-    else:
+    except FileNotFoundError as e:  # explicit --step ('best'/'mid'/N) not on
+        restored = None  # disk: structured error, no traceback.  Other
+        detail = str(e)  # restore failures (family/shape mismatch, corrupt
+    else:                # checkpoint) propagate — they are NOT 'not found'.
         detail = None
     if restored is None:
         print(json.dumps({"error": "no checkpoint found", "step": str(step),

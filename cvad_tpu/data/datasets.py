@@ -65,6 +65,18 @@ class ClipDataset:
             clip = np.clip(clip, lo, hi)  # family B clamp (:113-114)
         return clip, self.labels[idx]
 
+    def _native_eligible(self, paths: Sequence[str]) -> bool:
+        """True iff `_decode_clip` would take the (internally threaded)
+        native C++ path for these frames."""
+        if self.cfg.decode_backend not in ("auto", "native"):
+            return False
+        from cvad_tpu.data.native_decoder import (load_library,
+                                                  supported_suffixes)
+
+        suffixes = supported_suffixes()
+        return (load_library() is not None and bool(suffixes)
+                and all(p.lower().endswith(suffixes) for p in paths))
+
     def warm_frames(self, indices: Sequence[int]) -> None:
         """Decode every not-yet-cached frame these clips reference in ONE
         (internally threaded) native call — the BatchLoader calls this before
@@ -81,11 +93,17 @@ class ClipDataset:
                 if p not in frames and p not in seen:
                     seen.add(p)
                     need.append(p)
-        if need:
-            dec8 = np.round(self._decode_clip(need) * 255.0
-                            ).astype(np.uint8)
-            for p, f in zip(need, dec8):
-                frames[p] = f
+        if not need:
+            return
+        if not self._native_eligible(need):
+            # PIL/cv2 fallback decodes one frame per call on THIS (single)
+            # producer thread — warming here would serialize work the
+            # loader's pool runs in parallel per clip; let get_uint8 decode
+            # (the frame tier still dedups across overlapping windows)
+            return
+        dec8 = np.round(self._decode_clip(need) * 255.0).astype(np.uint8)
+        for p, f in zip(need, dec8):
+            frames[p] = f
 
     def get_uint8(self, idx: int) -> Tuple[np.ndarray, np.float32]:
         """Raw uint8 clip for the low-bandwidth transfer path (normalize
@@ -120,20 +138,17 @@ class ClipDataset:
 
     def _decode_clip(self, paths: Sequence[str]) -> np.ndarray:
         cfg = self.cfg
-        if cfg.decode_backend in ("auto", "native"):
-            from cvad_tpu.data.native_decoder import (decode_clip,
-                                                      supported_suffixes)
+        # the native gate covers the real dataset formats: UCSD Ped2 .tif
+        # (minicausal_vad_complete3.py:141-143) and Avenue jpg/png
+        # (avenue_training_script_bbox.py:391); native decode is
+        # bit-identical to PIL for all of them (tests/test_data.py)
+        if self._native_eligible(paths):
+            from cvad_tpu.data.native_decoder import decode_clip
 
-            # the gate now covers the real dataset formats: UCSD Ped2 .tif
-            # (minicausal_vad_complete3.py:141-143) and Avenue jpg/png
-            # (avenue_training_script_bbox.py:391); native decode is
-            # bit-identical to PIL for all of them (tests/test_data.py)
-            suffixes = supported_suffixes()
-            if suffixes and all(p.lower().endswith(suffixes) for p in paths):
-                out = decode_clip(paths, cfg.frame_size, cfg.channels,
-                                  cfg.num_decode_threads)
-                if out is not None:
-                    return out
+            out = decode_clip(paths, cfg.frame_size, cfg.channels,
+                              cfg.num_decode_threads)
+            if out is not None:
+                return out
         frames = [decode.decode_frame(p, cfg.frame_size,
                                       grayscale=cfg.channels == 1,
                                       backend=cfg.decode_backend)

@@ -53,6 +53,7 @@ class Trainer:
         self._jit_train = None
         self._jit_eval = None
         self._best = None
+        self._since_best = 0  # early-stop counter; checkpointed with _best
         self._mid_resume = None  # set by restore() from a 'mid' checkpoint
 
     # -- setup ---------------------------------------------------------------
@@ -186,8 +187,12 @@ class Trainer:
             sched = hist.pop("_scheduler", None)
             # restore the best-metric watermark: without it, the first eval
             # after a resume would overwrite the 'best' checkpoint with a
-            # possibly-worse model
+            # possibly-worse model.  The early-stop counter comes with it —
+            # restarting it at 0 would make a resumed run stop LATER than
+            # the uninterrupted run (breaking bit-identical resume under
+            # early_stop_patience)
             self._best = hist.pop("_best", None)
+            self._since_best = int(hist.pop("_since_best", 0) or 0)
             for k in self.history.KEYS:
                 self.history.data[k] = list(hist.get(k, []))
             if sched:
@@ -199,7 +204,8 @@ class Trainer:
     def _ckpt_payload(self) -> Dict:
         return {**self.history.as_dict(),
                 "_scheduler": self.scheduler.state_dict(),
-                "_best": self._best}
+                "_best": self._best,
+                "_since_best": self._since_best}
 
     def _save_mid(self, epoch: int, count: int, total_vec) -> None:
         """Rolling preemption checkpoint: state + the in-progress epoch's
@@ -386,8 +392,9 @@ class Trainer:
             self.init_state(sample_batch)
         t0 = time.time()
         start_epoch = self.history.last_epoch + 1
-        since_best = 0
+        trained_any = False
         for epoch in range(start_epoch, cfg.num_epochs + 1):
+            trained_any = True
             mid = self._mid_resume
             if mid is not None and int(mid["epoch"]) == epoch:
                 self._mid_resume = None  # consume: applies to this epoch only
@@ -407,9 +414,9 @@ class Trainer:
                 self.history.record_eval(scalar)
                 self.logger.log("eval", epoch=epoch, **scalar)
                 improved = self._maybe_save_best(epoch, scalar, avg)
-                since_best = 0 if improved else since_best + 1
+                self._since_best = 0 if improved else self._since_best + 1
                 # early stopping (family B: patience 10, :506-515)
-                if cfg.early_stop_patience and since_best >= cfg.early_stop_patience:
+                if cfg.early_stop_patience and self._since_best >= cfg.early_stop_patience:
                     self.logger.log("early_stop", epoch=epoch,
                                     patience=cfg.early_stop_patience)
                     break
@@ -425,10 +432,13 @@ class Trainer:
                 self.logger.log("reloaded_best", best=self._best)
             except Exception as e:  # noqa: BLE001 — no best saved yet
                 self.logger.log("reload_best_failed", error=str(e))
-        if cfg.save_every_steps:
-            # the run completed: drop the rolling preemption snapshot so a
-            # later restore can't pick a final-epoch 'mid' over the last
-            # interval checkpoint and needlessly replay that epoch's tail
+        if cfg.save_every_steps and trained_any:
+            # the run completed AND actually trained: drop the rolling
+            # preemption snapshot so a later restore can't pick a
+            # final-epoch 'mid' over the last interval checkpoint and
+            # needlessly replay that epoch's tail.  A zero-epoch fit (e.g.
+            # resumed with num_epochs at/below the interrupted epoch) must
+            # NOT delete the only snapshot holding the interrupted state.
             self.ckpt.remove("mid")
         self.logger.log("done", epochs=cfg.num_epochs,
                         total_s=time.time() - t0)

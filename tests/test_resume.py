@@ -117,6 +117,22 @@ def test_restore_keeps_best_watermark(tmp_path):
     assert tr2._best == tr1._best
 
 
+def test_restore_keeps_early_stop_counter(tmp_path):
+    """The early-stop counter checkpoints with the best watermark: restarting
+    it at 0 on resume would make the resumed run stop LATER than the
+    uninterrupted one under early_stop_patience."""
+    cfg = _cfg(tmp_path, 1)
+    tr1 = Trainer(cfg, mesh=_mesh1())
+    loader, _ = make_loaders(cfg, n_synthetic=16)
+    tr1.fit(loader)
+    tr1._best, tr1._since_best = 0.5, 3
+    tr1.ckpt.save(2, tr1.state, history=tr1._ckpt_payload())
+    tr2 = Trainer(_cfg(tmp_path, 2), mesh=_mesh1())
+    assert tr2.restore(loader.sample_batch()) is not None
+    assert tr2._best == 0.5
+    assert tr2._since_best == 3
+
+
 def test_checkpoint_overwrite_atomic_and_crash_tolerant(tmp_path):
     """Overwriting a checkpoint (the rolling 'mid' snapshot) serializes to a
     tmp dir and swaps — and recovers from leftover _tmp./_old. dirs of a
