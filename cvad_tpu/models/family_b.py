@@ -177,10 +177,12 @@ class MemoryVideoAutoEncoder(nn.Module):
         flat = frames.reshape((b * t,) + frames.shape[2:])
         fvalid = None if valid is None else jnp.repeat(valid, t)
         z = self.encoder(flat, train=train, valid=fvalid).reshape(b, t, -1)
+        return self._temporal_feature(z), z
 
+    def _temporal_feature(self, z: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, D) frame latents -> (B, D) sequence feature."""
         if self.cfg.temporal_encoder == "attention":
-            return self.temporal(z), z
-
+            return self.temporal(z)
         carry = self.lstm.initialize_carry(jax.random.key(0), z[:, 0].shape)
         scan = nn.scan(
             lambda cell, c, x: cell(c, x),
@@ -189,22 +191,42 @@ class MemoryVideoAutoEncoder(nn.Module):
             in_axes=1, out_axes=1,
         )
         (c_n, h_n), _ = scan(self.lstm, carry, z)
-        return h_n, z
+        return h_n
 
-    def decode_sequence(self, seq_feature: jnp.ndarray, t: int, *,
-                        train: bool = False,
-                        valid: jnp.ndarray | None = None) -> jnp.ndarray:
-        """One decode, broadcast over T (identical to the reference's T
-        redundant decodes of the same feature, ``:248-260``)."""
-        frame = self.decoder(seq_feature, train=train, valid=valid)  # (B, H, W, C)
-        return jnp.broadcast_to(frame[:, None], (frame.shape[0], t) + frame.shape[1:])
+    def folded_forward(self, flat: jnp.ndarray, memory: MemoryBankState, *,
+                       t: int, train: bool = False,
+                       valid: jnp.ndarray | None = None
+                       ) -> Dict[str, jnp.ndarray]:
+        """Training-path forward over pre-folded frames (B*T, H, W, C).
+
+        Identical math to ``__call__`` minus the broadcast reconstruction:
+        no 5-D float tensor is ever traced, so the step does not rely on XLA
+        cancelling the unfold/refold reshape pair (it did — the lowering is
+        measured graph-identical — but the folded contract makes that
+        guaranteed rather than lucky; PARITY.md family-B trace note).
+        """
+        b = flat.shape[0] // t
+        fvalid = None if valid is None else jnp.repeat(valid, t)
+        z = self.encoder(flat, train=train, valid=fvalid).reshape(b, t, -1)
+        seq = self._temporal_feature(z)
+        frame = self.decoder(seq, train=train, valid=valid)  # (B, H, W, C)
+        score = memory_anomaly_score(memory, seq, self.cfg.memory_min_fill)
+        return {
+            "recon_frame": frame,
+            "sequence_feature": seq,
+            "frame_features": z,
+            "anomaly_score": score,
+        }
 
     def __call__(self, frames: jnp.ndarray, memory: MemoryBankState, *,
                  train: bool = False,
                  valid: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
         seq, per_frame = self.encode_sequence(frames, train=train, valid=valid)
-        recon = self.decode_sequence(seq, frames.shape[1], train=train,
-                                     valid=valid)
+        # one decode, broadcast over T (identical to the reference's T
+        # redundant decodes of the same feature, ``:248-260``)
+        frame = self.decoder(seq, train=train, valid=valid)  # (B, H, W, C)
+        recon = jnp.broadcast_to(
+            frame[:, None], (frame.shape[0], frames.shape[1]) + frame.shape[1:])
         score = memory_anomaly_score(memory, seq, self.cfg.memory_min_fill)
         return {
             "reconstructed": recon,

@@ -205,7 +205,20 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
                           batch_stats=variables["batch_stats"], extra=mem)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
-        batch = _with_prepped_clips(batch, cfg.data.normalize_clamp)
+        # Fold (B,T,...) -> (B*T,...) BEFORE the uint8->float prep so every
+        # training consumer — the encoder AND the recon loss — reads the one
+        # folded array and no 5-D float tensor is ever traced
+        # (model.folded_forward).  Measured graph-neutral on TPU (XLA already
+        # canonicalized the old reshape round-trip to this form); kept because
+        # it no longer depends on that cancellation.  The ~0.5 ms/step of
+        # input relayout copies that remain are the u8 param -> conv layout
+        # transition; pinning XLA's own auto-preferred input layout
+        # (major_to_minor (0,1,4,2,3)) measured 2.7x SLOWER end-to-end —
+        # layout lottery, see PARITY.md family-B trace note.
+        clips_u8 = batch["clips"]
+        b, t = clips_u8.shape[0], clips_u8.shape[1]
+        flat = prep_clips(clips_u8.reshape((b * t,) + clips_u8.shape[2:]),
+                          cfg.data.normalize_clamp)
         normal = (batch["labels"] == 0).astype(jnp.float32)  # (:374-378)
         if "valid" in batch:  # DP padding rows: never train on or memorize
             normal = normal * batch["valid"]
@@ -214,11 +227,17 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["clips"], state.extra, train=True,
-                valid=batch.get("valid"), mutable=["batch_stats"])
-            # per-sample recon error, averaged over normal samples only
-            err = jnp.mean((jnp.clip(out["reconstructed"], 1e-8, 1 - 1e-8)
-                            - batch["clips"]) ** 2, axis=(1, 2, 3, 4))
+                flat, state.extra, t=t, train=True,
+                valid=batch.get("valid"), mutable=["batch_stats"],
+                method="folded_forward")
+            # per-sample recon error, averaged over normal samples only.
+            # Same math as mean((recon - clips)^2, axis=(1,2,3,4)) — the
+            # decode is one frame broadcast over T (reference :248-260), so
+            # compare folded frames and average the per-frame means over T.
+            frame = jnp.clip(out["recon_frame"], 1e-8, 1 - 1e-8)
+            diff = jnp.repeat(frame, t, axis=0) - flat
+            err = jnp.mean(diff * diff, axis=(1, 2, 3)).reshape(b, t)
+            err = err.mean(axis=1)
             loss = (err * normal).sum() / jnp.maximum(n_normal, 1.0)
             loss = loss * loss_cfg.b_recon_weight
             return loss, (mutated, out)
