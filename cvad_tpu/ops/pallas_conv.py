@@ -233,7 +233,18 @@ def tfold_conv1_matmul(xf: jnp.ndarray, wd: jnp.ndarray, *,
     im2col construction on real TPUs — stride-2 window extraction needs
     either >2-D strided gathers ("Only 2D gather is supported") or
     lane-retiling reshapes ("infer-vector-layout: unsupported shape cast"),
-    both rejected by the Mosaic compiler as of jax 0.8.  XLA's conv
+    both rejected by the Mosaic compiler as of jax 0.8.  Re-probed on
+    jax 0.9 (round 3, real v5e): still fails, and the remote-compile
+    tunnel now hides the Mosaic diagnostic (HTTP 500).  What DOES lower
+    on-chip in jax 0.9: stride-1 im2col as accumulated per-tap matmuls —
+    4-D VMEM blocks with channels kept in lanes, static slices on
+    sublane/outer dims only, one (M, C) x (C, O) dot per kernel tap
+    (measured exact vs lax.conv).  A stride-2 phase-split 6-D reshape
+    inside the kernel sends Mosaic into a >10-min compile hang — do not
+    retry that shape.  The accumulated-matmul form caps the contraction
+    at K=C per tap, so it cannot reach the XLA emitter's K=270 single
+    im2col matmul efficiency for these small-C convs; it becomes useful
+    only where K_tap >= 128 (e.g. C >= 128 stride-1 stacks).  XLA's conv
     emitter, which owns privileged im2col/layout machinery, runs the folded
     conv at ~151 us fwd (B=256 bf16) vs the formulation's ~131 us tile
     roofline, so there is nothing left for a kernel to win even if the

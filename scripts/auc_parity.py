@@ -1,0 +1,230 @@
+"""AUC parity study: reference torch vs cvad_tpu on identical synthetic data.
+
+North-star context (SURVEY.md §6, BASELINE.md): the reference publishes no
+frame-AUC and the real CUHK Avenue / UCSD Ped2 trees are not present in this
+environment, so detection-quality parity is established the only honest way
+available — train BOTH implementations on byte-identical synthetic clips
+(the generator with learnable normal/anomalous separation,
+`cvad_tpu/data/synthetic.py`) under the same hyperparameters, and compare
+test-set ROC-AUC.
+
+Families covered:
+
+- **C** — supervised 3D-CNN classifier: reference
+  `minicausal_vad_complete3.py:218-392` (`StableTrainer`, Adam + StepLR +
+  BCE, AUC from `evaluate()`), ours `preset("family_c")`.
+- **B** — normal-only memory autoencoder: reference
+  `causal_anomaly_detection1.py:346-524` (`train_model`) scored by
+  `:526-566` (`calculate_anomaly_scores`, 0.7*recon + 0.3*memory blend),
+  ours `preset("family_b")`.
+
+Family D is excluded by design: its reference loss discards the provided
+targets and trains against 5% *random* pseudo-labels
+(`avenue_training_script2.py:139-141`), so supervised AUC is chance for any
+faithful implementation; family-D parity is covered by forward-numerics
+tests (tests/test_torch_parity.py) and the compat drivers' 80-epoch
+trajectory soak (runs/soak_80epoch) instead.
+
+Data equality: both sides consume the same uint8-quantized clips the
+framework trains on (`SyntheticClipDataset.get_uint8` / `prep_clips`
+semantics: round(x*255)/255, then the family clamp).  Model inits remain
+each implementation's own (torch kaiming vs our ported init) — the study
+compares what a user gets, not bit equality.
+
+Usage: python scripts/auc_parity.py [--fast]
+Writes runs/auc_parity/results.json and prints one summary table.
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+REFERENCE_DIR = os.environ.get("CVAD_REFERENCE", "/root/reference")
+
+
+def load_reference_module(name: str):
+    """Import a reference script as a parity oracle (mirrors
+    tests/conftest.py::load_reference_module; reference code is never copied
+    into the framework).  torchvision is absent here — stub it."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    # torch>=2.13 removed ReduceLROnPlateau's `verbose` kwarg (the reference
+    # passes it, causal_anomaly_detection1.py:354) — shim like bench.py does
+    import torch.optim.lr_scheduler as lrs
+
+    if "verbose" not in lrs.ReduceLROnPlateau.__init__.__code__.co_varnames:
+        _orig = lrs.ReduceLROnPlateau.__init__
+
+        def _patched(self, *a, verbose=False, **k):
+            _orig(self, *a, **k)
+
+        lrs.ReduceLROnPlateau.__init__ = _patched
+
+    path = os.path.join(REFERENCE_DIR, f"{name}.py")
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _torch_view(ds, clamp, layout: str):
+    """The framework's exact input values for the torch side: uint8
+    quantization then the family clamp (train/tasks.py::prep_clips)."""
+    x = np.round(ds.data * 255.0).astype(np.uint8).astype(np.float32) / 255.0
+    lo, hi = clamp
+    if (lo, hi) != (0.0, 1.0):
+        x = np.clip(x, lo, hi)
+    if layout == "BCTHW":      # family C forward (minicausal :25-107)
+        x = x.transpose(0, 4, 1, 2, 3)
+    elif layout == "BTCHW":    # family B forward (causal1 :303-344)
+        x = x.transpose(0, 1, 4, 2, 3)
+    return np.ascontiguousarray(x), ds.labels.astype(np.float32)
+
+
+def _torch_loaders(cfg, n_train, n_test, layout):
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from cvad_tpu.data.datasets import SyntheticClipDataset
+
+    tr = SyntheticClipDataset(cfg.data, n=n_train, split="Train")
+    te = SyntheticClipDataset(cfg.data, n=n_test, split="Test")
+    xtr, ytr = _torch_view(tr, cfg.data.normalize_clamp, layout)
+    xte, yte = _torch_view(te, cfg.data.normalize_clamp, layout)
+    gen = torch.Generator().manual_seed(cfg.data.seed)
+    tl = DataLoader(TensorDataset(torch.from_numpy(xtr), torch.from_numpy(ytr)),
+                    batch_size=cfg.data.batch_size, shuffle=True, generator=gen)
+    el = DataLoader(TensorDataset(torch.from_numpy(xte), torch.from_numpy(yte)),
+                    batch_size=cfg.data.batch_size, shuffle=False)
+    return tl, el
+
+
+def _ours_auc(cfg, n_train):
+    """Train the framework side and return the final-epoch eval AUC."""
+    from cvad_tpu.runtime.mesh import create_mesh
+    from cvad_tpu.train.engine import Trainer, make_loaders
+
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg, mesh=create_mesh())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=n_train)
+    hist = trainer.fit(train_loader, eval_loader)
+    auc = float(hist["evaluation_metrics"][-1]["auc"])
+    return auc, time.perf_counter() - t0
+
+
+def run_family_c(epochs: int, n_train: int, out_dir: Path) -> dict:
+    """Supervised 3D CNN: both sides Adam(lr), StepLR, BCE on true labels."""
+    from cvad_tpu.config import preset
+
+    cfg = preset("family_c")
+    cfg = cfg.replace(
+        data=cfg.data.replace(dataset="synthetic", batch_size=16),
+        train=cfg.train.replace(num_epochs=epochs, out_dir=str(out_dir / "ours_c"),
+                                log_every=10**9))
+    n_test = max(n_train // 2, 2)
+    ours_auc, ours_s = _ours_auc(cfg, n_train)
+
+    import torch
+    ref = load_reference_module("minicausal_vad_complete3")
+    torch.manual_seed(cfg.train.seed)
+    model = ref.SimpleVideoAnomalyDetector(
+        input_channels=cfg.data.channels, temporal_frames=cfg.data.clip_len,
+        spatial_size=cfg.data.frame_size[0])
+    tl, el = _torch_loaders(cfg, n_train, n_test, "BCTHW")
+    trainer = ref.StableTrainer(model, tl, el, torch.device("cpu"),
+                                lr=cfg.optim.lr)
+    t0 = time.perf_counter()
+    trainer.train_model(epochs, save_path=str(out_dir / "ref_c.pth"))
+    ref_auc = float(trainer.history["test_auc"][-1])
+    ref_s = time.perf_counter() - t0
+    return {"family": "c", "epochs": epochs, "lr": cfg.optim.lr,
+            "n_train": n_train, "n_test": n_test,
+            "reference_auc": ref_auc, "ours_auc": ours_auc,
+            "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
+
+
+def run_family_b(epochs: int, n_train: int, out_dir: Path,
+                 lr: float = 1e-4) -> dict:
+    """Normal-only AE + memory bank; scored by the 0.7/0.3 blend.
+
+    The reference main() trains at lr=1e-6 for 25+ epochs on real Ped2; the
+    synthetic study raises lr equally on both sides so separation emerges
+    within a few epochs."""
+    from cvad_tpu.config import preset
+
+    cfg = preset("family_b")
+    cfg = cfg.replace(
+        data=cfg.data.replace(dataset="synthetic", batch_size=8),
+        optim=cfg.optim.replace(lr=lr),
+        train=cfg.train.replace(num_epochs=epochs, out_dir=str(out_dir / "ours_b"),
+                                log_every=10**9, early_stop_patience=0))
+    n_test = max(n_train // 2, 2)
+    ours_auc, ours_s = _ours_auc(cfg, n_train)
+
+    import torch
+    from sklearn.metrics import roc_auc_score
+    ref = load_reference_module("causal_anomaly_detection1")
+    torch.manual_seed(cfg.train.seed)
+    model = ref.VideoAutoEncoder(input_channels=cfg.data.channels,
+                                 latent_dim=cfg.model.latent_dim)
+    tl, el = _torch_loaders(cfg, n_train, n_test, "BTCHW")
+    t0 = time.perf_counter()
+    cwd = os.getcwd()
+    os.chdir(out_dir)  # the reference writes best_robust_autoencoder.pth to CWD
+    try:
+        model, _, _ = ref.train_model(model, tl, el, num_epochs=epochs, lr=lr)
+        scores, labels, _, _ = ref.calculate_anomaly_scores(model, el)
+    finally:
+        os.chdir(cwd)
+    ref_auc = float(roc_auc_score(labels, scores))
+    ref_s = time.perf_counter() - t0
+    return {"family": "b", "epochs": epochs, "lr": lr,
+            "n_train": n_train, "n_test": n_test,
+            "reference_auc": ref_auc, "ours_auc": ours_auc,
+            "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="small config (CI-sized); full study otherwise")
+    ap.add_argument("--out", default=str(REPO / "runs" / "auc_parity"))
+    args = ap.parse_args()
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.fast:
+        rows = [run_family_c(4, 48, out_dir), run_family_b(4, 48, out_dir)]
+    else:
+        rows = [run_family_c(10, 192, out_dir), run_family_b(8, 192, out_dir)]
+
+    results = {"rows": rows, "measured_at": time.time(),
+               "note": "identical uint8-quantized synthetic clips both sides; "
+                       "AUC on the held-out Test split (anomaly_rate 0.5)"}
+    (out_dir / "results.json").write_text(json.dumps(results, indent=1))
+    print(f"\n{'family':8s} {'ref AUC':>8s} {'ours AUC':>9s} "
+          f"{'ref s':>7s} {'ours s':>7s}")
+    for r in rows:
+        print(f"{r['family']:8s} {r['reference_auc']:8.3f} "
+              f"{r['ours_auc']:9.3f} {r['reference_wall_s']:7.1f} "
+              f"{r['ours_wall_s']:7.1f}")
+    print(f"results -> {out_dir / 'results.json'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""AUC parity smoke (scripts/auc_parity.py): the reference torch
+implementation and the framework trained on byte-identical synthetic clips
+under the same recipe produce matching test-set ROC-AUC.
+
+The CI-sized configs here are deterministic (fixed torch/jax seeds, CPU);
+the full-size artifact lives in runs/auc_parity/results.json.  Family D is
+excluded by design — its reference loss trains against random pseudo-labels
+(avenue_training_script2.py:139-141), so supervised AUC is chance for any
+faithful implementation (see the study module docstring).
+"""
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+from conftest import requires_reference
+
+
+def _load_study():
+    path = Path(__file__).resolve().parent.parent / "scripts" / "auc_parity.py"
+    spec = importlib.util.spec_from_file_location("auc_parity_study", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@requires_reference
+def test_family_c_auc_parity(tmp_path):
+    """Supervised family C: both sides separate the synthetic anomalies
+    essentially perfectly, and agree with each other."""
+    study = _load_study()
+    r = study.run_family_c(4, 48, tmp_path)
+    assert r["reference_auc"] >= 0.9, r
+    assert r["ours_auc"] >= 0.9, r
+    assert abs(r["ours_auc"] - r["reference_auc"]) <= 0.05, r
+
+
+@requires_reference
+def test_family_b_auc_tracks_reference(tmp_path):
+    """Normal-only family B at CI size is under-trained on BOTH sides —
+    the parity claim is that the two implementations track each other's
+    behavior (the full-size runs/auc_parity artifact holds the trained
+    comparison)."""
+    study = _load_study()
+    r = study.run_family_b(4, 48, tmp_path)
+    assert abs(r["ours_auc"] - r["reference_auc"]) <= 0.15, r
