@@ -217,8 +217,14 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
         # layout lottery, see PARITY.md family-B trace note.
         clips_u8 = batch["clips"]
         b, t = clips_u8.shape[0], clips_u8.shape[1]
-        flat = prep_clips(clips_u8.reshape((b * t,) + clips_u8.shape[2:]),
-                          cfg.data.normalize_clamp)
+        # optimization_barrier pins the fold on the UINT8 tensor: without it
+        # XLA commutes the u8->bf16 convert above the reshape, reconstituting
+        # a 5-D bf16 tensor whose layout assignment costs two full-size
+        # relayout copies (~0.5 ms/step measured at B=256).  Any residual
+        # copy the barrier forces is on u8 (half the bytes of one bf16 copy).
+        folded_u8 = jax.lax.optimization_barrier(
+            clips_u8.reshape((b * t,) + clips_u8.shape[2:]))
+        flat = prep_clips(folded_u8, cfg.data.normalize_clamp)
         normal = (batch["labels"] == 0).astype(jnp.float32)  # (:374-378)
         if "valid" in batch:  # DP padding rows: never train on or memorize
             normal = normal * batch["valid"]
