@@ -4,6 +4,8 @@
                     (avenue_training_script2.py main, minicausal_vad_complete3,
                     causal_anomaly_detection{,1}, video_anomaly_detection)
   cvad eval       — standalone checkpoint evaluation (test_model analog)
+  cvad auc        — frame-level ROC-AUC vs real ground truth (UCSD _gt
+                    masks / Avenue .mat volumes): the north-star metric
   cvad score      — sliding-window full-video scoring + anomalous-clip
                     extraction (avenue_training_script_bbox.py inference path)
   cvad report     — bbox visualization + JSON/HTML report (AnomalyVisualizer)
@@ -196,6 +198,75 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _try_restore(trainer, sample_batch, step):
+    try:
+        return trainer.restore(sample_batch, step=step)
+    except FileNotFoundError:
+        return None
+
+
+def cmd_auc(args) -> int:
+    """Frame-level ROC-AUC against real ground truth — the BASELINE.md
+    north-star metric, turnkey: the moment a real UCSD Ped2 / Avenue tree
+    (with its ``_gt`` masks / ``.mat`` volumes) is on disk, one command
+    produces the number.  Scores come either from a torch checkpoint
+    (``--torch-checkpoint``, e.g. the reference's shipped
+    ``best_improved_model.pth``) or from one of our training runs
+    (``--out`` + ``--step``, any family preset)."""
+    from cvad_tpu.evaluation.frame_auc import (dataset_frame_auc,
+                                               make_trainer_score_fn)
+    from cvad_tpu.utils.json_utils import safe_json_save
+
+    cfg = preset(args.preset)
+    if args.data_root:
+        cfg = cfg.replace(data=cfg.data.replace(root=args.data_root))
+    if args.out:
+        cfg = cfg.replace(train=cfg.train.replace(out_dir=args.out))
+    cfg = _apply_overrides(cfg, args.set)
+    dcfg = cfg.data
+
+    if args.torch_checkpoint:
+        from cvad_tpu.evaluation.scoring import make_score_fn
+        from cvad_tpu.runtime import checkpoint as ckpt
+
+        fam = args.family
+        if fam == "b":
+            variables, memory = ckpt.import_torch_family_b(
+                args.torch_checkpoint)
+            score_fn = make_score_fn("b", variables, memory=memory)
+        else:
+            importer = getattr(ckpt, f"import_torch_family_{fam}")
+            score_fn = make_score_fn(fam, importer(args.torch_checkpoint))
+    else:
+        from cvad_tpu.data.batcher import BatchLoader
+        from cvad_tpu.data.datasets import build_dataset
+        from cvad_tpu.train.engine import Trainer
+
+        trainer = Trainer(cfg)
+        loader = BatchLoader(build_dataset(dcfg, "Test", 8),
+                             dcfg.batch_size, shuffle=False)
+        step = int(args.step) if str(args.step).isdigit() else args.step
+        sample = loader.sample_batch()
+        restored = _try_restore(trainer, sample, step)
+        if restored is None and step == "best":
+            restored = _try_restore(trainer, sample, "latest")
+        if restored is None:
+            print(json.dumps({"error": "no checkpoint found",
+                              "step": str(step),
+                              "out_dir": cfg.train.out_dir}))
+            return 1
+        score_fn = make_trainer_score_fn(trainer)
+
+    report = dataset_frame_auc(score_fn, dcfg, dcfg.root, split=args.split,
+                               batch_size=args.batch_size)
+    if args.report_out:
+        safe_json_save(report, args.report_out, verbose=False)
+    print(json.dumps({k: report.get(k) for k in
+                      ("frame_auc", "frame_auc_normalized", "macro_auc",
+                       "n_videos", "n_frames", "anomalous_frames")}))
+    return 0 if report.get("frame_auc") is not None else 1
+
+
 def cmd_diagnose(args) -> int:
     from cvad_tpu.utils.diagnose import diagnose_training_issues
 
@@ -367,7 +438,8 @@ def cmd_synth(args) -> int:
         args.out, videos_per_split=args.videos,
         frames_per_video=args.frames,
         hw=tuple(int(x) for x in args.hw.split(",")),
-        channels=args.channels, fmt=args.format, seed=args.seed)
+        channels=args.channels, fmt=args.format, seed=args.seed,
+        write_gt=args.write_gt)
     n = sum(1 for _ in Path(root).rglob("*") if _.is_file())
     print(json.dumps({"root": root, "files": n, "format": args.format}))
     return 0
@@ -422,6 +494,27 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "report":
             s.add_argument("--detector", default="auto")
         s.set_defaults(fn=fn)
+
+    au = sub.add_parser("auc", help="frame-level ROC-AUC vs real ground "
+                                    "truth (the north-star metric)")
+    au.add_argument("--preset", default="avenue_improved")
+    au.add_argument("--data-root", required=True,
+                    help="dataset root holding the split + ground truth")
+    au.add_argument("--split", default="Test")
+    au.add_argument("--torch-checkpoint", default=None,
+                    help="score from a torch .pth (reference checkpoint)")
+    au.add_argument("--family", default="d", choices=list("abcde"),
+                    help="model family of --torch-checkpoint")
+    au.add_argument("--out", default=None,
+                    help="training out_dir holding our checkpoints")
+    au.add_argument("--step", default="best",
+                    help="best|latest|mid|<epoch> (with --out); 'best' "
+                         "falls back to 'latest' if no best was saved")
+    au.add_argument("--batch-size", type=int, default=64)
+    au.add_argument("--report-out", default=None,
+                    help="write the full per-video report JSON here")
+    au.add_argument("--set", action="append", metavar="SEC.KEY=VAL")
+    au.set_defaults(fn=cmd_auc)
 
     d = sub.add_parser("diagnose")
     d.add_argument("history")
@@ -484,6 +577,9 @@ def build_parser() -> argparse.ArgumentParser:
     sy.add_argument("--hw", default="64,64")
     sy.add_argument("--channels", type=int, default=1)
     sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--write-gt", action="store_true",
+                    help="emit UCSD-style <video>_gt mask folders with "
+                         "frame-level anomaly segments")
     sy.set_defaults(fn=cmd_synth)
     return p
 

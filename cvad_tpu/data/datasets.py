@@ -41,6 +41,9 @@ class ClipDataset:
         self.clips = list(clips)
         self.labels = np.asarray(labels, np.float32)
         self.cfg = cfg
+        # per-video frame-level ground truth ({video: (T,) 0/1}) when the
+        # ground_truth label policy loaded any; used by the frame-AUC driver
+        self.frame_labels = None
         # two tiers, both uint8, both GIL-atomic-dict safe under the
         # BatchLoader thread pool (a duplicate decode in two threads is
         # benign): _frames dedups the decode, _cache makes warm epochs a
@@ -182,14 +185,26 @@ class SyntheticClipDataset:
                 self.labels[idx])
 
 
+def _gt_labels(root: str, split: str, videos) -> dict:
+    """Frame-level ground truth for the ``ground_truth`` label policy."""
+    from cvad_tpu.data.ground_truth import load_gt_frame_labels
+
+    return load_gt_frame_labels(root, split, [name for name, _ in videos])
+
+
 def _folder_dataset(root: str, split: str, cfg: DataConfig, policy: str
                     ) -> ClipDataset:
     videos = scan_video_folders(str(Path(root) / split))
     clips = clip_windows(videos, cfg.clip_len, cfg.stride,
                          cfg.max_clips_per_video)
     lengths = [len(frames) for _, frames in videos]
-    labels = assign_labels(policy, clips, split, lengths)
-    return ClipDataset(clips, labels, cfg)
+    frame_labels = (_gt_labels(root, split, videos)
+                    if policy == "ground_truth" else None)
+    labels = assign_labels(policy, clips, split, lengths,
+                           frame_labels=frame_labels)
+    ds = ClipDataset(clips, labels, cfg)
+    ds.frame_labels = frame_labels
+    return ds
 
 
 class UCSDPed2Dataset(ClipDataset):
@@ -199,6 +214,7 @@ class UCSDPed2Dataset(ClipDataset):
                  cfg: DataConfig = DataConfig()):
         ds = _folder_dataset(root, split, cfg, cfg.label_policy or "none")
         super().__init__(ds.clips, ds.labels, cfg)
+        self.frame_labels = ds.frame_labels
 
 
 class AvenueDataset(ClipDataset):
@@ -225,8 +241,13 @@ class AvenueDataset(ClipDataset):
         clips = clip_windows(videos, cfg.clip_len, cfg.stride,
                              cfg.max_clips_per_video)
         lengths = [len(frames) for _, frames in videos]
-        labels = assign_labels(cfg.label_policy or "none", clips, split, lengths)
+        policy = cfg.label_policy or "none"
+        frame_labels = (_gt_labels(root, split, videos)
+                        if policy == "ground_truth" else None)
+        labels = assign_labels(policy, clips, split, lengths,
+                               frame_labels=frame_labels)
         super().__init__(clips, labels, cfg)
+        self.frame_labels = frame_labels
 
 
 def build_dataset(cfg: DataConfig, split: str = "Train", n_synthetic: int = 256):

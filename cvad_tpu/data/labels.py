@@ -1,9 +1,8 @@
-"""Synthetic-label policies.
+"""Label policies: the reference's synthetic ones, plus real ground truth.
 
 All three reference UCSD datasets fabricate labels (SURVEY.md §4: the
 pipelines are runnable without ground truth).  Those policies are observable
-behavior, so they are preserved verbatim here, plus a real ground-truth path
-for when `.m`/mask annotations exist.
+behavior, so they are preserved verbatim here.
 
 Policies (name -> reference source):
 - ``heuristic_v1``  — ``causal_anomaly_detection.py:65-80``: seeded-RNG
@@ -14,6 +13,12 @@ Policies (name -> reference source):
 - ``mixed_simple``  — ``minicausal_vad_complete3.py:165-185``: 20% of train /
   50% of test clips anomalous by index arithmetic, with forced class balance.
 - ``none``          — all zeros (e.g. Avenue training, which is unsupervised).
+- ``ground_truth``  — REAL per-frame annotations via
+  :mod:`cvad_tpu.data.ground_truth` (UCSD ``Test00N_gt`` mask folders the
+  reference skips at ``minicausal_vad_complete3.py:141-143``, Avenue
+  ``N_label.mat`` volumes, ``.npy`` vectors); a clip is anomalous iff any
+  frame in its window is.  This is what the north-star frame-AUC
+  (BASELINE.md) evaluates against.
 """
 
 from __future__ import annotations
@@ -101,18 +106,33 @@ def none_policy(clips: Sequence[ClipSpec], split: str, video_lengths) -> List[in
     return [0] * len(clips)
 
 
+def ground_truth_policy(clips: Sequence[ClipSpec], split: str, video_lengths,
+                        frame_labels=None) -> List[int]:
+    """Real annotations (see module docstring).  `frame_labels` is the
+    per-video frame-label dict the dataset layer loads from disk; videos
+    without ground truth (every Train split) label as normal."""
+    from cvad_tpu.data.ground_truth import clip_labels_from_frames
+
+    return list(clip_labels_from_frames(clips, frame_labels or {}))
+
+
 POLICIES = {
     "heuristic_v1": heuristic_v1,
     "hardcoded_v2": hardcoded_v2,
     "split_binary": split_binary,
     "mixed_simple": mixed_simple,
     "none": none_policy,
+    "ground_truth": ground_truth_policy,
 }
 
 
 def assign_labels(policy: str, clips: Sequence[ClipSpec], split: str,
-                  video_lengths: Sequence[int]) -> np.ndarray:
+                  video_lengths: Sequence[int],
+                  frame_labels=None) -> np.ndarray:
     fn = POLICIES.get(policy)
     if fn is None:
         raise KeyError(f"unknown label policy {policy!r}")
+    if policy == "ground_truth":
+        return np.asarray(fn(clips, split, list(video_lengths),
+                             frame_labels=frame_labels), np.float32)
     return np.asarray(fn(clips, split, list(video_lengths)), np.float32)

@@ -18,8 +18,15 @@ import numpy as np
 
 
 def _render_video(rng: np.ndarray, t: int, h: int, w: int, c: int,
-                  anomalous: bool) -> np.ndarray:
-    """Render one clip (T, H, W, C) float32 in [0, 1]."""
+                  anomalous, return_masks: bool = False) -> np.ndarray:
+    """Render one clip (T, H, W, C) float32 in [0, 1].
+
+    `anomalous` is a bool (whole clip) or a (T,) per-frame bool array —
+    per-frame flags produce within-video anomaly *segments*, which is what
+    real UCSD/Avenue ground truth looks like.  With `return_masks`, also
+    return (T, H, W) uint8 pixel masks (nonzero on the anomalous object in
+    anomalous frames, zero elsewhere) — the ``Test00N_gt`` format."""
+    anom = np.broadcast_to(np.asarray(anomalous, bool), (t,))
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     cx = rng.uniform(0.2, 0.8) * w
     cy = rng.uniform(0.2, 0.8) * h
@@ -27,9 +34,10 @@ def _render_video(rng: np.ndarray, t: int, h: int, w: int, c: int,
     vy = rng.uniform(-1.5, 1.5)
     sigma = rng.uniform(0.08, 0.15) * min(h, w)
     frames = np.empty((t, h, w, c), np.float32)
+    masks = np.zeros((t, h, w), np.uint8) if return_masks else None
     base = rng.uniform(0.05, 0.2)
     for i in range(t):
-        if anomalous:
+        if anom[i]:
             # erratic jumps + speed bursts
             cx += vx * 4 + rng.normal(0, 0.15 * w)
             cy += vy * 4 + rng.normal(0, 0.15 * h)
@@ -40,15 +48,17 @@ def _render_video(rng: np.ndarray, t: int, h: int, w: int, c: int,
         cy = float(np.clip(cy, 0, h - 1))
         blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma**2))
         frame = base + 0.7 * blob
-        if anomalous and i % 3 == 0:
+        if anom[i] and i % 3 == 0:
             frame = frame + 0.3  # intensity flash
+        if masks is not None and anom[i]:
+            masks[i] = (blob > 0.3).astype(np.uint8) * 255
         frame = np.clip(frame + rng.normal(0, 0.02, (h, w)), 0, 1)
         if c == 1:
             frames[i, ..., 0] = frame
         else:
             for ch in range(c):
                 frames[i, ..., ch] = np.clip(frame * (0.8 + 0.2 * ch / c), 0, 1)
-    return frames
+    return (frames, masks) if return_masks else frames
 
 
 def make_synthetic_clips(n: int, clip_len: int = 8, hw: Tuple[int, int] = (64, 64),
@@ -69,8 +79,16 @@ def write_synthetic_video_tree(root: str, splits=("Train", "Test"),
                                frames_per_video: int = 24,
                                hw: Tuple[int, int] = (64, 64),
                                channels: int = 1, fmt: str = "pgm",
-                               seed: int = 0) -> str:
-    """Write a UCSD-style frame-folder tree; returns the root path."""
+                               seed: int = 0, write_gt: bool = False,
+                               gt_fmt: str = "pgm") -> str:
+    """Write a UCSD-style frame-folder tree; returns the root path.
+
+    With `write_gt`, anomalous test videos get frame-level anomaly
+    *segments* (middle 25-75% of frames) and a sibling ``<video>_gt/``
+    folder of per-frame pixel masks — the real UCSD Ped2 ground-truth
+    layout the reference skips (``minicausal_vad_complete3.py:141-143``) —
+    so the `ground_truth` label policy and the frame-AUC driver are
+    end-to-end testable without the real dataset."""
     rng = np.random.default_rng(seed)
     h, w = hw
     rootp = Path(root)
@@ -78,8 +96,21 @@ def write_synthetic_video_tree(root: str, splits=("Train", "Test"),
         for v in range(videos_per_split):
             vdir = rootp / split / f"{split}{v + 1:03d}"
             vdir.mkdir(parents=True, exist_ok=True)
-            video = _render_video(rng, frames_per_video, h, w, channels,
-                                  anomalous=(split != "Train" and v % 2 == 0))
+            is_anom_video = split != "Train" and v % 2 == 0
+            if write_gt and is_anom_video:
+                flags = np.zeros(frames_per_video, bool)
+                flags[frames_per_video // 4: (3 * frames_per_video) // 4] = True
+            else:
+                flags = np.full(frames_per_video, is_anom_video)
+            video, masks = _render_video(rng, frames_per_video, h, w,
+                                         channels, anomalous=flags,
+                                         return_masks=True)
+            if write_gt and split != "Train":
+                gt_dir = rootp / split / (vdir.name + "_gt")
+                gt_dir.mkdir(parents=True, exist_ok=True)
+                for i in range(frames_per_video):
+                    _write_mask(gt_dir / f"{i + 1:03d}.{gt_fmt}", masks[i],
+                                gt_fmt)
             for i in range(frames_per_video):
                 frame8 = (video[i] * 255).astype(np.uint8)
                 path = vdir / f"{i + 1:03d}.{fmt}"
@@ -103,6 +134,17 @@ def write_synthetic_video_tree(root: str, splits=("Train", "Test"),
                 else:
                     raise ValueError(f"unsupported fixture format {fmt!r}")
     return str(rootp)
+
+
+def _write_mask(path: Path, mask: np.ndarray, fmt: str) -> None:
+    if fmt == "pgm":
+        _write_pgm(path, mask)
+    elif fmt == "npy":
+        np.save(str(path)[:-4] + ".npy", mask)
+    else:  # bmp/png/tif — the real dataset mask formats, via PIL
+        from PIL import Image
+
+        Image.fromarray(mask).save(path)
 
 
 def _write_pgm(path: Path, gray: np.ndarray) -> None:

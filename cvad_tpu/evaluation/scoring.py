@@ -216,6 +216,45 @@ def make_family_b_score_fn(variables, memory, loss_cfg=None, model=None
     return score
 
 
+def make_score_fn(family: str, variables, memory=None, model=None) -> Callable:
+    """Per-family batch->scores dispatcher (shared by `cvad auc` and any
+    driver that scores from imported torch weights).  Each branch applies
+    the family's deterministic eval forward and reduces to the scalar
+    anomaly score the reference variant reports (SURVEY.md §2.8)."""
+    import jax
+    import jax.numpy as jnp
+
+    if family == "d":
+        return make_family_d_score_fn(variables, model=model)
+    if family == "b":
+        assert memory is not None, "family b needs the memory bank state"
+        return make_family_b_score_fn(variables, memory, model=model)
+
+    from cvad_tpu.models import (BBoxVizDetector, CausalPipelineDetector,
+                                 Simple3DCNNDetector)
+
+    if family == "c":
+        m = model or Simple3DCNNDetector()
+        fwd = jax.jit(lambda v, x: m.apply(v, x, train=False,
+                                           deterministic=True).reshape(-1))
+    elif family == "a":
+        m = model or CausalPipelineDetector()
+        fwd = jax.jit(lambda v, x: m.apply(
+            v, x, train=False, deterministic=True)["anomaly_scores"
+                                                   ].reshape(-1))
+    elif family == "e":
+        m = model or BBoxVizDetector()
+        fwd = jax.jit(lambda v, x: m.apply(
+            v, x, deterministic=True)[0].reshape(-1))
+    else:
+        raise KeyError(f"unknown family {family!r}")
+
+    def score(batch: np.ndarray):
+        return np.asarray(fwd(variables, jnp.asarray(batch, np.float32)))
+
+    return score
+
+
 def make_sharded_score_fn(variables, mesh=None, model=None,
                           family: str = "d") -> Callable:
     """Data-parallel scorer: the batch shards over the mesh's 'data' axis

@@ -1,0 +1,196 @@
+"""Ground-truth label ingestion + frame-level AUC (the north-star driver).
+
+End-to-end contract: a synthetic tree *with _gt masks* flows through the
+``ground_truth`` label policy and the ``cvad auc`` frame-AUC driver, so the
+moment a real UCSD Ped2 / Avenue tree lands, the BASELINE.md north-star row
+is one command (reference anchor: ``minicausal_vad_complete3.py:141-143``
+sees and skips exactly this ``Test00N_gt`` layout).
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cvad_tpu.config import DataConfig
+from cvad_tpu.data.datasets import UCSDPed2Dataset
+from cvad_tpu.data.frames import scan_video_folders
+from cvad_tpu.data.ground_truth import (clip_labels_from_frames,
+                                        load_avenue_gt, load_gt_frame_labels,
+                                        load_ucsd_gt, mask_folder_labels)
+from cvad_tpu.data.synthetic import write_synthetic_video_tree
+from cvad_tpu.evaluation.frame_auc import dataset_frame_auc, frame_level_auc
+
+
+@pytest.fixture(scope="module")
+def gt_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gt_tree")
+    write_synthetic_video_tree(str(root), videos_per_split=4,
+                               frames_per_video=32, write_gt=True, seed=3)
+    return str(root)
+
+
+def test_gt_masks_written_and_parsed(gt_tree):
+    gt = load_ucsd_gt(gt_tree + "/Test")
+    assert set(gt) == {"Test001", "Test002", "Test003", "Test004"}
+    for name, vec in gt.items():
+        assert vec.shape == (32,)
+        n = int(vec.sum())
+        if name in ("Test001", "Test003"):  # anomalous: middle 25-75%
+            assert np.array_equal(np.nonzero(vec)[0], np.arange(8, 24)), name
+        else:
+            assert n == 0, name
+
+
+def test_gt_folders_excluded_from_video_scan(gt_tree):
+    """The _gt folders must stay invisible to the clip pipeline, like the
+    reference's exclusion (minicausal_vad_complete3.py:141-143)."""
+    videos = scan_video_folders(gt_tree + "/Test")
+    assert [n for n, _ in videos] == ["Test001", "Test002", "Test003",
+                                      "Test004"]
+
+
+def test_ground_truth_label_policy(gt_tree):
+    cfg = DataConfig(dataset="ucsd_ped2", root=gt_tree, channels=1,
+                     clip_len=8, stride=4, label_policy="ground_truth")
+    ds = UCSDPed2Dataset(gt_tree, "Test", cfg)
+    assert ds.frame_labels is not None and len(ds.frame_labels) == 4
+    # any-frame-anomalous rule, checked against the known mask layout
+    for clip, label in zip(ds.clips, ds.labels):
+        gt = ds.frame_labels[clip.video]
+        expect = float(np.any(gt[clip.start:clip.start + 8]))
+        assert label == expect, (clip.video, clip.start)
+    assert 0 < ds.labels.sum() < len(ds.labels)
+    # train split: no _gt folders -> all normal
+    tr = UCSDPed2Dataset(gt_tree, "Train", cfg)
+    assert tr.labels.sum() == 0
+
+
+def test_npy_sidecar_and_vector_folder(tmp_path):
+    root = tmp_path / "Test"
+    (root / "v1").mkdir(parents=True)
+    vec = np.array([0, 1, 1, 0], np.uint8)
+    np.save(root / "v1_gt.npy", vec)
+    out = load_ucsd_gt(str(root))
+    assert "v1" not in out or True  # sidecar requires frames? no: folder walk
+    assert np.array_equal(out["v1"], vec.astype(np.float32))
+    # labels.npy inside a _gt folder
+    (root / "v2").mkdir()
+    (root / "v2_gt").mkdir()
+    np.save(root / "v2_gt" / "labels.npy", np.array([1, 0, 1]))
+    out = load_ucsd_gt(str(root))
+    assert np.array_equal(out["v2"], [1, 0, 1])
+
+
+def test_avenue_mat_volumes(tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+    mat_dir = tmp_path / "testing_label_mask"
+    mat_dir.mkdir()
+    # volLabel: (1, T) cell array of (H, W) masks — the Avenue GT format
+    t = 6
+    cells = np.empty((1, t), object)
+    for i in range(t):
+        m = np.zeros((8, 8), np.uint8)
+        if i in (2, 3):
+            m[3:5, 3:5] = 1
+        cells[0, i] = m
+    scipy_io.savemat(mat_dir / "1_label.mat", {"volLabel": cells})
+    scipy_io.savemat(mat_dir / "2_label.mat",
+                     {"volLabel": np.empty((1, 0), object)})
+    vols = load_avenue_gt(str(tmp_path))
+    assert len(vols) == 2
+    assert np.array_equal(vols[0], [0, 0, 1, 1, 0, 0])
+    # unified loader aligns by video order
+    got = load_gt_frame_labels(str(tmp_path), "Test", ["01", "02"])
+    assert np.array_equal(got["01"], [0, 0, 1, 1, 0, 0])
+
+
+def test_clip_labels_edge_cases():
+    from cvad_tpu.data.frames import ClipSpec
+
+    clips = [ClipSpec("v", tuple("abcd"), 0, 0),
+             ClipSpec("v", tuple("abcd"), 10, 0),   # beyond gt -> normal
+             ClipSpec("w", tuple("abcd"), 0, 1)]    # no gt -> normal
+    gt = {"v": np.array([0, 0, 1, 0], np.float32)}
+    labels = clip_labels_from_frames(clips, gt)
+    assert np.array_equal(labels, [1, 0, 0])
+
+
+def test_frame_auc_perfect_and_random(gt_tree):
+    videos = scan_video_folders(gt_tree + "/Test")
+    gt = load_ucsd_gt(gt_tree + "/Test")
+
+    def oracle(frames, _gt=gt, _videos=videos):
+        # perfect scorer: emit the gt itself as the frame curve
+        name = next(n for n, fr in _videos if fr == list(frames))
+        return {"frame_scores": _gt[name]}
+
+    rep = frame_level_auc(oracle, videos, gt)
+    assert rep["frame_auc"] == 1.0
+    assert rep["frame_auc_normalized"] == 1.0
+    assert rep["n_videos"] == 4 and rep["n_frames"] == 128
+    assert rep["anomalous_frames"] == 32
+    # per-video AUC: all-normal videos have one class -> None
+    assert rep["per_video_auc"]["Test001"] == 1.0
+    assert rep["per_video_auc"]["Test002"] is None
+    assert rep["macro_auc"] == 1.0
+
+    rng = np.random.default_rng(0)
+    rep = frame_level_auc(
+        lambda frames: {"frame_scores": rng.uniform(size=len(frames))},
+        videos, gt)
+    assert 0.2 < rep["frame_auc"] < 0.8  # chance level
+
+
+def test_dataset_frame_auc_motion_scorer(gt_tree):
+    """End-to-end: real decode path + a physics-based scorer.  Anomalous
+    synthetic frames carry intensity flashes + erratic motion, so a simple
+    temporal-energy score must separate them well above chance."""
+    cfg = DataConfig(dataset="ucsd_ped2", root=gt_tree, channels=1,
+                     clip_len=8, stride=2)
+
+    def motion_energy(batch):  # (B, T, H, W, C)
+        d = np.abs(np.diff(batch, axis=1)).mean(axis=(1, 2, 3, 4))
+        return d.astype(np.float32)
+
+    rep = dataset_frame_auc(motion_energy, cfg, gt_tree, split="Test",
+                            batch_size=16)
+    assert rep["n_videos"] == 4
+    assert rep["frame_auc"] > 0.85, rep
+    # per-video min-max stretches all-normal videos' noise to [0,1], so the
+    # normalized variant sits lower by construction — above chance is enough
+    assert rep["frame_auc_normalized"] > 0.6, rep
+
+
+def test_cvad_auc_cli_with_trained_run(gt_tree, tmp_path):
+    """Turnkey check of the driver itself: train family C one epoch on the
+    gt tree, then `cvad auc` computes a frame-AUC from that run's
+    checkpoint.  (Quality isn't asserted — one epoch on 4 tiny videos —
+    only that the north-star command produces a finite number.)"""
+    from cvad_tpu.runtime.doctor import cpu_only_env
+
+    out = tmp_path / "run"
+    env = cpu_only_env()
+    train = subprocess.run(
+        [sys.executable, "-m", "cvad_tpu.cli", "train", "--preset", "mini3d",
+         "--dataset", "ucsd_ped2", "--data-root", gt_tree, "--epochs", "1",
+         "--out", str(out), "--set", "data.label_policy=ground_truth",
+         "--set", "data.batch_size=8"],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd="/root/repo")
+    assert train.returncode == 0, train.stderr[-2000:]
+    auc = subprocess.run(
+        [sys.executable, "-m", "cvad_tpu.cli", "auc", "--preset", "mini3d",
+         "--data-root", gt_tree, "--out", str(out),
+         "--report-out", str(tmp_path / "auc.json")],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd="/root/repo")
+    assert auc.returncode == 0, auc.stderr[-2000:] + auc.stdout[-500:]
+    res = json.loads(auc.stdout.strip().splitlines()[-1])
+    assert res["n_videos"] == 4 and res["n_frames"] == 128
+    assert 0.0 <= res["frame_auc"] <= 1.0
+    report = json.loads((tmp_path / "auc.json").read_text())
+    assert set(report["per_video_auc"]) == {"Test001", "Test002", "Test003",
+                                            "Test004"}
