@@ -37,6 +37,18 @@ STEPS_PER_CALL = 8  # engine steps_per_call: K scanned train steps per dispatch
 PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) peak dense bf16 FLOP/s per chip
 
 
+def _step_flops(trainer, batch) -> float:
+    """XLA's own FLOP count for ONE single-step train dispatch (fwd + loss +
+    bwd + optimizer) — self-auditing, not a hand-derived constant."""
+    compiled = trainer._jit_train.lower(
+        trainer.state, trainer.put_batch(batch), trainer._rng).compile()
+    return float(compiled.cost_analysis()["flops"])
+
+
+def _mfu(clips_per_s: float, flops_per_step: float, batch: int) -> float:
+    return clips_per_s / batch * flops_per_step / PEAK_BF16_FLOPS
+
+
 def measure_framework(dtype: str = "bfloat16", reps: int = 3,
                       steps_per_call: int = STEPS_PER_CALL,
                       report_mfu: bool = False, iters: int = 0):
@@ -102,21 +114,33 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3,
         f"on {jax.devices()[0]}")
     if not report_mfu:
         return best
-    mfu = float("nan")
+    mfu = mfu_alg = float("nan")
     try:
-        # XLA's own FLOP count for ONE train step (fwd+bwd+AdamW), so the MFU
-        # claim is self-auditing rather than a hand-derived constant
-        compiled = trainer._jit_train.lower(
-            trainer.state, trainer.put_batch(batch), trainer._rng).compile()
-        flops_per_step = float(compiled.cost_analysis()["flops"])
-        mfu = best / BATCH * flops_per_step / PEAK_BF16_FLOPS
+        flops_per_step = _step_flops(trainer, batch)
+        mfu = _mfu(best, flops_per_step, BATCH)
         log(f"model FLOPs (XLA cost analysis): {flops_per_step / BATCH / 1e6:.1f}"
             f" MFLOP/clip -> MFU {mfu * 100:.1f}% of {PEAK_BF16_FLOPS / 1e12:.0f}"
             " TF/s peak bf16 (counts executed FLOPs incl. the T-fold's ~1.35x"
             " whole-step MAC inflation — see PARITY.md hot-op table)")
     except Exception as e:  # cost analysis is best-effort on remote backends
         log(f"MFU estimate unavailable: {e}")
-    return best, mfu
+    try:
+        # algorithmic (useful-work) MFU: the same step lowered with the
+        # fold-free native conv stack counts only the conv's real MACs, so
+        # this divides the measured rate by FLOPs the model *needs*, not
+        # FLOPs the T-fold chooses to execute for MXU occupancy
+        cfg_nat = cfg.replace(model=cfg.model.replace(conv_stack="ndhwc",
+                                                      conv1_mode="native"))
+        tr_nat = Trainer(cfg_nat, mesh=mesh)
+        tr_nat.init_state(batch)
+        flops_alg = _step_flops(tr_nat, batch)
+        mfu_alg = _mfu(best, flops_alg, BATCH)
+        log(f"algorithmic FLOPs (native-stack lowering): "
+            f"{flops_alg / BATCH / 1e6:.1f} MFLOP/clip -> useful-work MFU "
+            f"{mfu_alg * 100:.1f}%")
+    except Exception as e:
+        log(f"algorithmic MFU unavailable: {e}")
+    return best, mfu, mfu_alg
 
 
 def measure_inference() -> float:
@@ -158,9 +182,16 @@ def measure_inference() -> float:
         np.asarray(total)  # data-dependent sync
         best = max(best, k * BATCH * CLIP_SHAPE[0] * iters
                    / (time.perf_counter() - t0))
+    mfu = float("nan")
+    try:
+        flops_per_call = float(score.fwd_many.lower(
+            variables, stacked).compile().cost_analysis()["flops"])
+        mfu = _mfu(best / CLIP_SHAPE[0], flops_per_call, k * BATCH)
+    except Exception as e:
+        log(f"inference MFU unavailable: {e}")
     log(f"inference (bulk scorer, bf16, device-staged uint8): {best:.0f} "
-        f"frames/s ({best / CLIP_SHAPE[0]:.0f} clips/s)")
-    return best
+        f"frames/s ({best / CLIP_SHAPE[0]:.0f} clips/s, MFU {mfu * 100:.1f}%)")
+    return best, mfu
 
 
 def measure_long_window(t_len: int = 64, batch: int = 128) -> float:
@@ -200,9 +231,15 @@ def measure_long_window(t_len: int = 64, batch: int = 128) -> float:
             total = m if total is None else total + m
         np.asarray(total)
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
+    mfu = float("nan")
+    try:
+        mfu = _mfu(best, _step_flops(trainer, b), batch)
+    except Exception as e:
+        log(f"T={t_len} MFU unavailable: {e}")
     log(f"long-window train step (T={t_len}, batch {batch}, bf16): "
-        f"{best:.0f} clips/s = {best * t_len:.0f} frames/s")
-    return best
+        f"{best:.0f} clips/s = {best * t_len:.0f} frames/s"
+        f" (MFU {mfu * 100:.1f}%)")
+    return best, mfu
 
 
 def measure_family_b(batch: int = 256) -> float:
@@ -242,9 +279,59 @@ def measure_family_b(batch: int = 256) -> float:
             total = m if total is None else total + m
         np.asarray(total)
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
+    mfu = float("nan")
+    try:
+        mfu = _mfu(best, _step_flops(trainer, b), batch)
+    except Exception as e:
+        log(f"family-B MFU unavailable: {e}")
     log(f"family-B train step (memory AE, bf16, batch {batch}): "
-        f"{best:.0f} clips/s")
-    return best
+        f"{best:.0f} clips/s (MFU {mfu * 100:.1f}%)")
+    return best, mfu
+
+
+def measure_family_c(batch: int = 256) -> tuple:
+    """Family-C (mini 3D-CNN classifier) train-step throughput + MFU —
+    the CPU-runnable reference variant (``minicausal_vad_complete3.py``),
+    grayscale (B, 8, 64, 64, 1) clips, BCE loss, bf16 compute."""
+    from cvad_tpu.config import preset
+    from cvad_tpu.runtime.mesh import create_mesh
+    from cvad_tpu.train.engine import Trainer
+
+    k = STEPS_PER_CALL
+    cfg = preset("family_c")
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=batch),
+        train=cfg.train.replace(out_dir="/tmp/cvad_bench_c",
+                                log_every=10**9, dtype="bfloat16",
+                                steps_per_call=k))
+    trainer = Trainer(cfg, mesh=create_mesh())
+    rng = np.random.default_rng(0)
+    b = {"clips": rng.integers(0, 256, (batch, 8, 64, 64, 1), dtype=np.uint8),
+         "labels": rng.integers(0, 2, batch).astype(np.float32)}
+    trainer.init_state(b)
+    chunk = trainer.put_chunk([b] * k)
+    step = lambda: trainer._jit_train_multi(trainer.state, chunk, trainer._rng)
+    for _ in range(WARMUP):
+        trainer.state, m = step()
+    np.asarray(m)
+    best = 0.0
+    iters = max(4, ITERS // k)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = None
+        for _ in range(iters):
+            trainer.state, m = step()
+            total = m if total is None else total + m
+        np.asarray(total)
+        best = max(best, k * batch * iters / (time.perf_counter() - t0))
+    mfu = float("nan")
+    try:
+        mfu = _mfu(best, _step_flops(trainer, b), batch)
+    except Exception as e:
+        log(f"family-C MFU unavailable: {e}")
+    log(f"family-C train step (mini 3D-CNN, bf16, batch {batch}): "
+        f"{best:.0f} clips/s (MFU {mfu * 100:.1f}%)")
+    return best, mfu
 
 
 def measure_input_pipeline() -> float:
@@ -433,9 +520,9 @@ def main() -> None:
         # few iters — the artifact must exist within the driver's patience
         value = measure_framework("float32", reps=1, steps_per_call=1,
                                   iters=6)
-        mfu = float("nan")
+        mfu = mfu_alg = float("nan")
     else:
-        value, mfu = measure_framework("bfloat16", report_mfu=True)
+        value, mfu, mfu_alg = measure_framework("bfloat16", report_mfu=True)
     try:
         # the reference prints banners at construction; keep stdout pure JSON
         with contextlib.redirect_stdout(sys.stderr):
@@ -452,11 +539,15 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "clips/s",
         "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+        # executed-FLOP MFU (includes the T-fold's deliberate MAC inflation)
+        # and the fold-corrected useful-work number, side by side — neither
+        # is silently "the" MFU
         "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
+        "mfu_algorithmic": round(mfu_alg, 4) if np.isfinite(mfu_alg) else None,
     }
     if fallback:
         line["platform"] = "cpu-fallback"  # relay was wedged; not TPU numbers
-        line["mfu"] = None  # the MFU constant is the TPU peak
+        line["mfu"] = line["mfu_algorithmic"] = None  # peak const is TPU's
         line["note"] = ("TPU relay unreachable after bounded probes; this is "
                         "JAX-on-host-CPU vs torch-on-host-CPU, not a TPU "
                         "number (see BENCH history for TPU runs)")
@@ -471,9 +562,12 @@ def main() -> None:
         context["train_bf16_per_dispatch_cps"] = measure_framework(
             "bfloat16", reps=1, steps_per_call=1)
         context["train_f32_cps"] = measure_framework("float32", reps=1)
-        context["long_window_t64_cps"] = measure_long_window()
-        context["family_b_cps"] = measure_family_b()
-        context["inference_fps"] = measure_inference()
+        (context["long_window_t64_cps"],
+         context["long_window_t64_mfu"]) = measure_long_window()
+        context["family_b_cps"], context["family_b_mfu"] = measure_family_b()
+        context["family_c_cps"], context["family_c_mfu"] = measure_family_c()
+        context["inference_fps"], context["inference_mfu"] = measure_inference()
+        # host-bound lines (no device utilization to report)
         context["native_decode_fps"] = measure_input_pipeline()
         context["end_to_end_epoch_cps"] = measure_end_to_end_epoch()
     except Exception as e:  # context metrics are best-effort

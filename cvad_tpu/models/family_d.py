@@ -79,7 +79,7 @@ class CompactFeatureExtractor(nn.Module):
                   # at (g+2)/3 either way.  Long T stays on the native
                   # stack unless the gconv group fold is requested.
                   and (_useful_fold(x.shape[1], c1)
-                       or (gi == "gconv"
+                       or (gi in ("gconv", "s2d")
                            and fold_group_size(x.shape[1], c1) >= 2)))
         if folded:
             # transpose-free stack: conv1 T-folds into ONE well-shaped 2-D
@@ -105,7 +105,7 @@ class CompactFeatureExtractor(nn.Module):
         else:
             if (conv1_mode in ("tfold", "tfold_pallas")
                     and not _useful_fold(x.shape[1], c1)
-                    and gi != "gconv"):
+                    and gi not in ("gconv", "s2d")):
                 conv1_mode = "native"  # long windows: native measures faster
             x = nn.relu(Conv3dTorch(c1, stride=(1, 2, 2), dtype=dtype,
                                     mode=conv1_mode, group_impl=gi,

@@ -173,8 +173,31 @@ class _TFoldConv(nn.Module):
             raise ValueError(
                 f"halo={self.halo!r} supports whole-T folds only; "
                 f"T={t} folds group-wise (g={g}) and requires halo='full'")
-        wd = fold_kernel(kernel, g)
         n = t // g
+        if self.group_impl == "s2d":
+            # space-to-depth composed with the group fold: spatial stride 2
+            # becomes stride 1 over 2x2 cells (4x channels, dead phases
+            # exactly zero), so the core is 4 stride-1 taps of
+            # (M, (g+2)*4C) x (·, g*cout) — the form Mosaic lowers on-chip;
+            # fwd/dgrad/wgrad all run as Pallas kernels with controlled
+            # layouts (ops/pallas_s2d.py), collecting the T=64 MXU win the
+            # XLA grouped-conv emitter loses to layout copies
+            from cvad_tpu.ops.pallas_s2d import (s2d_fold_input,
+                                                 s2d_fold_kernel,
+                                                 s2d_fold_matmul)
+
+            if s != 2:
+                raise ValueError("group_impl='s2d' requires spatial stride 2")
+            y = s2d_fold_matmul(s2d_fold_input(x, g), s2d_fold_kernel(kernel, g),
+                                use_pallas=self.use_pallas or None)
+            y = post(y)
+            y = y.reshape(b, n, h // s, w // s, g, cout)
+            if not self.unfold:
+                y = jnp.transpose(y, (0, 2, 3, 1, 4, 5))  # (b,h',w',n,g,c)
+                return tail(y.reshape(b, h // s, w // s, t, cout))
+            y = jnp.transpose(y, (0, 1, 4, 2, 3, 5))      # (b,n,g,h',w',c)
+            return tail(y.reshape(b, t, h // s, w // s, cout))
+        wd = fold_kernel(kernel, g)
         if self.group_impl == "gconv":
             # ONE grouped conv instead of n window stacks: fold the whole
             # padded T axis like the T=8 path (single pad op = the

@@ -265,19 +265,31 @@ class Trainer:
 
             feed = DevicePrefetcher(_chunk_batches(source, k, nd),
                                     put_fn=put_fn)
+            log_every = self.cfg.train.log_every
             for item in feed:
                 if item["clips"].ndim == 6:  # stacked chunk
                     self.state, vec = self._jit_train_multi(
                         self.state, item, self._rng)
-                    count += k
+                    dk = k
                 else:
                     self.state, vec = self._jit_train(self.state, item,
                                                       self._rng)
-                    count += 1
+                    dk = 1
+                count += dk
                 total_vec = vec if total_vec is None else total_vec + vec
                 if next_save and count >= next_save:
                     self._save_mid(epoch, count, total_vec)
                     next_save = (count // save_every + 1) * save_every
+                # per-dispatch observability, mirroring the k==1 branch:
+                # steps_per_s counts optimizer steps (k per dispatch), and a
+                # train_batch line fires whenever `count` crosses a
+                # log_every boundary (chunk metrics are k-step sums -> /dk)
+                t = timer.tick()
+                if count // log_every > (count - dk) // log_every:
+                    host = dict(zip(self._metric_keys, np.asarray(vec) / dk))
+                    self.logger.log(
+                        "train_batch", epoch=epoch, batch=count, **host,
+                        steps_per_s=count / max(t["elapsed_s"], 1e-9))
         else:
             feed = DevicePrefetcher(source, self.mesh, pad_to_multiple=nd,
                                     time_dim=self._time_dim)

@@ -341,6 +341,30 @@ def test_steps_per_call_remainder(tmp_path):
     assert int(jax.device_get(tr.state.step)) == 5
 
 
+def test_steps_per_call_logging(tmp_path):
+    """The scanned multi-step path emits the same train_batch JSONL
+    observability as the single-step path (per-dispatch tick, log_every
+    boundary crossings, steps_per_s in optimizer-step units)."""
+    cfg = _small(preset("family_d"), tmp_path, epochs=1, batch=4, hw=(16, 16))
+    cfg = cfg.replace(train=cfg.train.replace(steps_per_call=3, log_every=2))
+    rng = np.random.default_rng(2)
+    batches = [{"clips": rng.uniform(0, 1, (4, 8, 16, 16, 3)).astype(np.float32),
+                "labels": np.zeros(4, np.float32)} for _ in range(7)]
+    tr = Trainer(cfg, mesh=_mesh1())
+    tr.init_state(batches[0])
+    tr.train_epoch(batches, epoch=1)
+    recs = [json.loads(line)
+            for line in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    tb = [r for r in recs if r["kind"] == "train_batch"]
+    # 7 batches at k=3 -> dispatches end at counts 3, 6, 7; the chunk
+    # dispatches cross log_every=2 boundaries (2; 4+6), the remainder
+    # single step (6 -> 7) crosses none
+    assert [r["batch"] for r in tb] == [3, 6]
+    for r in tb:
+        assert r["steps_per_s"] > 0
+        assert np.isfinite(r["loss"])
+
+
 def test_lr_update_preserves_masked_opt_state(tmp_path):
     """Regression: set_lr must not flatten NamedTuple optimizer states
     (family A wraps its tx in optax.masked for stem freezing; a cosine
