@@ -178,25 +178,26 @@ class _TFoldConv(nn.Module):
             # space-to-depth composed with the group fold: spatial stride 2
             # becomes stride 1 over 2x2 cells (4x channels, dead phases
             # exactly zero), so the core is 4 stride-1 taps of
-            # (M, (g+2)*4C) x (·, g*cout) — the form Mosaic lowers on-chip;
-            # fwd/dgrad/wgrad all run as Pallas kernels with controlled
-            # layouts (ops/pallas_s2d.py), collecting the T=64 MXU win the
-            # XLA grouped-conv emitter loses to layout copies
-            from cvad_tpu.ops.pallas_s2d import (s2d_fold_input,
+            # (M, (g+2)*4C) x (·, g*cout) — the form Mosaic lowers on-chip.
+            # Whole-T fold input + per-group BlockSpec slabs: the halo'd
+            # group windows never materialize in XLA, and the t-major folded
+            # output IS the hwtc layout convs 2-3 consume (no unfold) —
+            # fwd/wgrad run as Pallas kernels with controlled layouts
+            # (ops/pallas_s2d.py), collecting the T=64 MXU win the XLA
+            # grouped-conv emitter loses to layout copies
+            from cvad_tpu.ops.pallas_s2d import (s2d_fold_groups,
                                                  s2d_fold_kernel,
-                                                 s2d_fold_matmul)
+                                                 s2d_group_conv)
 
             if s != 2:
                 raise ValueError("group_impl='s2d' requires spatial stride 2")
-            y = s2d_fold_matmul(s2d_fold_input(x, g), s2d_fold_kernel(kernel, g),
-                                use_pallas=self.use_pallas or None)
-            y = post(y)
-            y = y.reshape(b, n, h // s, w // s, g, cout)
+            y = s2d_group_conv(s2d_fold_groups(x, g), s2d_fold_kernel(kernel, g),
+                               g, use_pallas=self.use_pallas or None)
+            y = post(y)  # t-major folded channels: tile(bias) matches
+            y = y.reshape(b, h // s, w // s, t, cout)
             if not self.unfold:
-                y = jnp.transpose(y, (0, 2, 3, 1, 4, 5))  # (b,h',w',n,g,c)
-                return tail(y.reshape(b, h // s, w // s, t, cout))
-            y = jnp.transpose(y, (0, 1, 4, 2, 3, 5))      # (b,n,g,h',w',c)
-            return tail(y.reshape(b, t, h // s, w // s, cout))
+                return tail(y)
+            return tail(jnp.transpose(y, (0, 3, 1, 2, 4)))
         wd = fold_kernel(kernel, g)
         if self.group_impl == "gconv":
             # ONE grouped conv instead of n window stacks: fold the whole

@@ -95,6 +95,49 @@ def test_dead_phase_and_band_zeros(case):
             assert np.all(wd[:, :, rows, ti * O:(ti + 1) * O] == 0)
 
 
+@pytest.mark.parametrize("core", ["xla_groups", "xla_slabs", "interp"])
+def test_whole_t_group_conv_exact(case, core):
+    """Production long-window path: whole-T fold input + padded-slab gather
+    + grouped kernel against ``lax.conv``, fwd + both grads."""
+    from cvad_tpu.ops.pallas_s2d import (_xla_groups_core, s2d_fold_groups,
+                                         s2d_foldT_input, s2d_group_conv)
+
+    x, k, g = case
+    B, T, H, W, C = x.shape
+    O = k.shape[-1]
+    xt = s2d_foldT_input(x)
+    assert xt.shape == (B, H // 2 + 1, W // 2 + 1, (T + 2) * 4 * C)
+    wd = s2d_fold_kernel(k, g)
+    fn = {"xla_groups": lambda: _xla_groups_core(xt, wd, g),
+          "xla_slabs": lambda: s2d_group_conv(s2d_fold_groups(x, g), wd, g,
+                                              use_pallas=False),
+          "interp": lambda: s2d_group_conv(s2d_fold_groups(x, g), wd, g,
+                                           interpret=True)}[core]
+
+    def unfold(y):  # t-major folded -> NDHWC
+        y = y.reshape(B, H // 2, W // 2, T, O)
+        return jnp.transpose(y, (0, 3, 1, 2, 4))
+
+    np.testing.assert_allclose(np.asarray(unfold(fn())),
+                               np.asarray(_ref_conv(x, k)), atol=5e-6)
+    if core != "interp":
+        return
+
+    def loss_ref(x, k):
+        return jnp.sum(jnp.sin(_ref_conv(x, k)))
+
+    def loss_s2d(x, k):
+        return jnp.sum(jnp.sin(unfold(s2d_group_conv(
+            s2d_fold_groups(x, g), s2d_fold_kernel(k, g), g,
+            interpret=True))))
+
+    gr = jax.grad(loss_ref, (0, 1))(x, k)
+    gs = jax.grad(loss_s2d, (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gr[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gr[1]),
+                               atol=1e-3, rtol=1e-5)
+
+
 def test_family_d_s2d_group_impl_exact():
     """Full family-D forward with conv_group_impl='s2d' matches the native
     stack bit-for-bit at the score level (CPU f32)."""
