@@ -88,6 +88,10 @@ class DataConfig(_Base):
     # host->device transfer dtype: uint8 sends 4x fewer bytes; the jitted
     # step normalizes on device (float32 = decode-side normalize)
     transfer_dtype: str = "float32"  # float32 | uint8
+    # synthetic-generator difficulty: 'easy' = the original separable fixture
+    # recipe; 'hard' = identical appearance stats both classes, motion
+    # coherence the only signal (data/synthetic.py::_render_video)
+    synthetic_profile: str = "easy"
     seed: int = 0
 
 
@@ -278,6 +282,10 @@ class OptimConfig(_Base):
     b1: float = 0.9
     b2: float = 0.999
     grad_clip: float = 0.5  # family D clip (:236); A=1.0, B=0.1, C=1.0/10.0
+    # conditional clip (family C, minicausal_vad_complete3.py:307-309): clip
+    # to grad_clip ONLY when the global norm exceeds this trigger; 0 = torch
+    # clip_grad_norm_ semantics (always rescale norms above grad_clip)
+    clip_trigger: float = 0.0
     schedule: str = "plateau"  # plateau | cosine | step | constant
     plateau_factor: float = 0.5
     plateau_patience: int = 5
@@ -347,9 +355,9 @@ def preset(name: str) -> ExperimentConfig:
             model=FamilyCConfig(),
             data=DataConfig(channels=1, grayscale=True, label_policy="mixed_simple",
                             stride=4, max_clips_per_video=50, batch_size=8),
-            optim=OptimConfig(optimizer="adam", lr=1e-3, weight_decay=0.0,
+            optim=OptimConfig(optimizer="adam", lr=1e-3, weight_decay=1e-5,
                               schedule="step", step_size=15, step_gamma=0.7,
-                              grad_clip=1.0),
+                              grad_clip=1.0, clip_trigger=10.0),
             train=TrainConfig(num_epochs=40, best_metric="auc", best_mode="max",
                               eval_every=1),
         )
@@ -359,7 +367,7 @@ def preset(name: str) -> ExperimentConfig:
             data=DataConfig(channels=1, grayscale=True, clip_len=8, stride=2,
                             normalize_clamp=(0.001, 0.999), batch_size=4,
                             label_policy="hardcoded_v2"),
-            optim=OptimConfig(optimizer="adam", lr=1e-6, weight_decay=0.0,
+            optim=OptimConfig(optimizer="adam", lr=1e-6, weight_decay=1e-6,
                               schedule="plateau", grad_clip=0.1),
             train=TrainConfig(num_epochs=50, normal_only=True,
                               best_metric="val_loss", best_mode="min",
@@ -372,7 +380,7 @@ def preset(name: str) -> ExperimentConfig:
             data=DataConfig(channels=1, grayscale=True, clip_len=16, stride=8,
                             frame_size=(240, 360), label_policy="heuristic_v1",
                             batch_size=4),
-            optim=OptimConfig(optimizer="adamw", lr=1e-4, weight_decay=1e-2,
+            optim=OptimConfig(optimizer="adamw", lr=3e-4, weight_decay=1e-5,
                               schedule="cosine", grad_clip=1.0),
             train=TrainConfig(num_epochs=20, best_metric="val_acc", best_mode="max",
                               eval_every=1),
@@ -387,6 +395,10 @@ def preset(name: str) -> ExperimentConfig:
             data=base.data.replace(label_policy="split_binary"),
             loss=base.loss.replace(a_ce=0.0, a_score_mse=1.0,
                                    a_causal_mse=0.0, a_kl=0.001),
+            # the earlier script trains at lr=1e-4 for 10 epochs
+            # (video_anomaly_detection.py:1034-1037)
+            optim=base.optim.replace(lr=1e-4),
+            train=base.train.replace(num_epochs=10),
         )
     if name in ("bbox_viz", "family_e", "avenue_training_script_bbox"):
         return ExperimentConfig(model=FamilyEConfig())

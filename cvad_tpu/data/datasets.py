@@ -169,7 +169,8 @@ class SyntheticClipDataset:
             rate = 0.2 if split.lower() == "train" else 0.5
         self.data, self.labels = make_synthetic_clips(
             n, cfg.clip_len, cfg.frame_size, cfg.channels, rate,
-            seed=cfg.seed + (0 if split.lower() == "train" else 1))
+            seed=cfg.seed + (0 if split.lower() == "train" else 1),
+            profile=cfg.synthetic_profile)
         lo, hi = cfg.normalize_clamp
         if (lo, hi) != (0.0, 1.0):
             self.data = np.clip(self.data, lo, hi)

@@ -205,32 +205,43 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
                           batch_stats=variables["batch_stats"], extra=mem)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
-        # Fold (B,T,...) -> (B*T,...) BEFORE the uint8->float prep so every
-        # training consumer — the encoder AND the recon loss — reads the one
-        # folded array and no 5-D float tensor is ever traced
-        # (model.folded_forward).  Measured graph-neutral on TPU (XLA already
-        # canonicalized the old reshape round-trip to this form); kept because
-        # it no longer depends on that cancellation.  The ~0.5 ms/step of
-        # input relayout copies that remain are the u8 param -> conv layout
-        # transition; pinning XLA's own auto-preferred input layout
-        # (major_to_minor (0,1,4,2,3)) measured 2.7x SLOWER end-to-end —
-        # layout lottery, see PARITY.md family-B trace note.
+        # Fold (B,T,...) -> (B*T,...) at the top: the encoder trains through
+        # model.folded_forward and the recon loss consumes only per-sample
+        # moments, so the big tensors in the graph are the folded frames and
+        # the encoder activations.  The ~0.5 ms/step of input relayout
+        # copies that remain are the input param -> conv layout transition;
+        # pinning XLA's own auto-preferred input layout (major_to_minor
+        # (0,1,4,2,3)) measured 2.7x SLOWER end-to-end — layout lottery, see
+        # PARITY.md family-B trace note.
         clips_u8 = batch["clips"]
         b, t = clips_u8.shape[0], clips_u8.shape[1]
-        # optimization_barrier pins the fold on the UINT8 tensor: without it
-        # XLA commutes the u8->bf16 convert above the reshape, reconstituting
-        # a 5-D bf16 tensor whose layout assignment costs two full-size
-        # relayout copies (~0.5 ms/step measured at B=256).  Any residual
-        # copy the barrier forces is on u8 (half the bytes of one bf16 copy).
-        folded_u8 = jax.lax.optimization_barrier(
-            clips_u8.reshape((b * t,) + clips_u8.shape[2:]))
+        # No optimization_barrier on the fold anymore.  History (full-step
+        # traces, B=256 bf16): with the OLD repeat-diff loss, barrier-on-u8
+        # was a ~0.5 ms win (it kept the relayout copies in u8).  With the
+        # sufficient-statistics loss below, the A/B flipped — barrier 4,903
+        # vs no-barrier 4,749 us/step (runs/traces_r3/prof_famb_r3_v3/v4b):
+        # letting XLA commute the convert above the reshape lets the
+        # x-moment reductions share the one bf16 5-D view instead of paying
+        # a second u8 read path.  Layout decisions are a lottery across
+        # graph perturbations — re-trace before touching this.
+        folded_u8 = clips_u8.reshape((b * t,) + clips_u8.shape[2:])
         flat = prep_clips(folded_u8, cfg.data.normalize_clamp)
+        # Data-side moments for the sufficient-statistics recon loss: pure
+        # reductions off the (B,T,...) batch view, NOT off the folded float
+        # tensor — reshaping `flat` back to 5-D forced XLA to materialize a
+        # full f32 copy (+900 us/step, round-3 trace v2).  stop_gradient is
+        # structural truth (data, not params).
+        x5 = prep_clips(batch["clips"], cfg.data.normalize_clamp)
+        x_mean = jax.lax.stop_gradient(x5.mean(axis=1))
+        x_sqmean = jax.lax.stop_gradient(
+            jnp.mean(x5 * x5, axis=(1, 2, 3, 4)))
         normal = (batch["labels"] == 0).astype(jnp.float32)  # (:374-378)
         if "valid" in batch:  # DP padding rows: never train on or memorize
             normal = normal * batch["valid"]
         n_normal = normal.sum()
 
         def loss_fn(params):
+            params = stop_bn_absorbed_biases(params)
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 flat, state.extra, t=t, train=True,
@@ -238,12 +249,22 @@ def _family_b_task(cfg: ExperimentConfig) -> Task:
                 method="folded_forward")
             # per-sample recon error, averaged over normal samples only.
             # Same math as mean((recon - clips)^2, axis=(1,2,3,4)) — the
-            # decode is one frame broadcast over T (reference :248-260), so
-            # compare folded frames and average the per-frame means over T.
+            # decode is one frame broadcast over T (reference :248-260) —
+            # via the sufficient-statistics identity
+            #   E_t[(f - x_t)^2] = f^2 - 2 f x_bar + E_t[x^2].
+            # The x-side moments are functions of DATA only, so the big
+            # (B*T,H,W,C) tensor is read once in one fused fwd reduction and
+            # the backward touches nothing larger than the (B,H,W,C) frame —
+            # the old diff formulation materialized repeat(frame,T), a
+            # (B*T,H,W) diff^2 pass, AND their backward broadcasts (~450
+            # us/step of pure HBM traffic at B=256, round-3 trace
+            # runs/traces_r3/prof_famb_r3.log: broadcast.35 + copy.255/216 +
+            # multiply_reduce pair).
             frame = jnp.clip(out["recon_frame"], 1e-8, 1 - 1e-8)
-            diff = jnp.repeat(frame, t, axis=0) - flat
-            err = jnp.mean(diff * diff, axis=(1, 2, 3)).reshape(b, t)
-            err = err.mean(axis=1)
+            frame = frame.astype(jnp.float32)
+            fm = jnp.mean(frame * frame, axis=(1, 2, 3))
+            fx = jnp.mean(frame * x_mean, axis=(1, 2, 3))
+            err = fm - 2.0 * fx + x_sqmean
             loss = (err * normal).sum() / jnp.maximum(n_normal, 1.0)
             loss = loss * loss_cfg.b_recon_weight
             return loss, (mutated, out)
@@ -318,6 +339,35 @@ def stop_frozen_stem(params):
     and let XLA delete the stem backward entirely."""
     return jax.tree_util.tree_map_with_path(
         lambda path, v: jax.lax.stop_gradient(v) if _is_frozen(path) else v,
+        params)
+
+
+def _is_bn_absorbed_bias(path) -> bool:
+    keys = {getattr(k, "key", None) for k in path}
+    if "bias" not in keys:
+        return False
+    return any(isinstance(k, str) and (k.startswith("conv_")
+                                       or k.startswith("deconv_"))
+               and k != "deconv_out" for k in keys)
+
+
+def stop_bn_absorbed_biases(params):
+    """Zero-cost gradients for conv biases that BatchNorm absorbs.
+
+    Every reference encoder conv / decoder deconv keeps torch's default
+    ``bias=True`` and is immediately followed by ``BatchNorm2d``
+    (``causal_anomaly_detection1.py:129-178``) — the batch-mean subtraction
+    makes the training loss exactly invariant to those biases, so their true
+    gradient is analytically zero (torch computes FP noise at ~1e-8 and
+    Adam random-walks the dead parameter; the bias still shifts BN's
+    *batch statistics*, which this keeps — only the gradient is
+    structurally zeroed).  Worth real bandwidth: the conv_0 bias grad alone
+    was a standalone 134 MB reduction pass, 359 us/step at B=256
+    (runs/traces_r3/prof_famb_r3.log %fusion.430).  ``deconv_out`` feeds a
+    sigmoid, not a BN — its bias is live and excluded."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: (jax.lax.stop_gradient(v)
+                         if _is_bn_absorbed_bias(path) else v),
         params)
 
 

@@ -17,6 +17,19 @@ Families covered:
   `causal_anomaly_detection1.py:346-524` (`train_model`) scored by
   `:526-566` (`calculate_anomaly_scores`, 0.7*recon + 0.3*memory blend),
   ours `preset("family_b")`.
+- **A** — 12-stage causal pipeline (enhanced variant): reference
+  `causal_anomaly_detection.py:519-586` trained by `:609-790`
+  (`train_model`: frozen stem, AdamW + cosine, 0.4*CE + 0.3*MSE +
+  0.2*causal-MSE + 0.1*KL), scored by the blended `anomaly_scores`; ours
+  `preset("family_a")`.  This is the hardest redesign in the framework
+  (ragged torch lists -> fixed-K masked lanes) — this row is the evidence
+  the masked pipeline *trains* to the same detection quality, not just
+  that its forward matches (round-2 verdict missing #2).
+
+Task difficulty (``--profile``): ``hard`` (default) uses the
+motion-coherence-only generator (`synthetic.py` profile='hard') calibrated
+so the reference lands mid-AUC instead of saturating at 1.0; ``easy`` keeps
+the original separable fixture recipe for comparison with round-2 numbers.
 
 Family D is excluded by design: its reference loss discards the provided
 targets and trains against 5% *random* pseudo-labels
@@ -82,7 +95,7 @@ def load_reference_module(name: str):
     return mod
 
 
-def _torch_view(ds, clamp, layout: str):
+def _torch_view(ds, clamp, layout: str, label_dtype=np.float32):
     """The framework's exact input values for the torch side: uint8
     quantization then the family clamp (train/tasks.py::prep_clips)."""
     x = np.round(ds.data * 255.0).astype(np.uint8).astype(np.float32) / 255.0
@@ -91,12 +104,12 @@ def _torch_view(ds, clamp, layout: str):
         x = np.clip(x, lo, hi)
     if layout == "BCTHW":      # family C forward (minicausal :25-107)
         x = x.transpose(0, 4, 1, 2, 3)
-    elif layout == "BTCHW":    # family B forward (causal1 :303-344)
+    elif layout == "BTCHW":    # families A/B forward (B, T, C, H, W)
         x = x.transpose(0, 1, 4, 2, 3)
-    return np.ascontiguousarray(x), ds.labels.astype(np.float32)
+    return np.ascontiguousarray(x), ds.labels.astype(label_dtype)
 
 
-def _torch_loaders(cfg, n_train, n_test, layout):
+def _torch_loaders(cfg, n_train, n_test, layout, label_dtype=np.float32):
     import torch
     from torch.utils.data import DataLoader, TensorDataset
 
@@ -104,8 +117,8 @@ def _torch_loaders(cfg, n_train, n_test, layout):
 
     tr = SyntheticClipDataset(cfg.data, n=n_train, split="Train")
     te = SyntheticClipDataset(cfg.data, n=n_test, split="Test")
-    xtr, ytr = _torch_view(tr, cfg.data.normalize_clamp, layout)
-    xte, yte = _torch_view(te, cfg.data.normalize_clamp, layout)
+    xtr, ytr = _torch_view(tr, cfg.data.normalize_clamp, layout, label_dtype)
+    xte, yte = _torch_view(te, cfg.data.normalize_clamp, layout, label_dtype)
     gen = torch.Generator().manual_seed(cfg.data.seed)
     tl = DataLoader(TensorDataset(torch.from_numpy(xtr), torch.from_numpy(ytr)),
                     batch_size=cfg.data.batch_size, shuffle=True, generator=gen)
@@ -127,13 +140,63 @@ def _ours_auc(cfg, n_train):
     return auc, time.perf_counter() - t0
 
 
-def run_family_c(epochs: int, n_train: int, out_dir: Path) -> dict:
+def run_family_a(epochs: int, n_train: int, out_dir: Path,
+                 profile: str = "hard") -> dict:
+    """12-stage causal pipeline (enhanced): both sides frozen-stem AdamW +
+    cosine, the reference 4-term loss, AUC on the blended anomaly scores."""
+    from cvad_tpu.config import preset
+
+    cfg = preset("family_a")
+    cfg = cfg.replace(
+        data=cfg.data.replace(dataset="synthetic", batch_size=8,
+                              frame_size=(64, 64), synthetic_profile=profile,
+                              label_policy="none"),
+        train=cfg.train.replace(num_epochs=epochs,
+                                out_dir=str(out_dir / "ours_a"),
+                                log_every=10**9))
+    n_test = max(n_train // 2, 2)
+    ours_auc, ours_s = _ours_auc(cfg, n_train)
+
+    import torch
+    from sklearn.metrics import roc_auc_score
+    ref = load_reference_module("causal_anomaly_detection")
+    torch.manual_seed(cfg.train.seed)
+    model = ref.CausalAnomalyDetector(num_factors=cfg.model.num_factors,
+                                      reid_dim=cfg.model.reid_dim)
+    # CE labels must be int64 (train_model :649); the videos are the same
+    # uint8-quantized [0,1] grays both sides (ours skips the reference
+    # main()'s Normalize(0.5, 0.5) — a preprocessing affine, applied to
+    # neither side here)
+    tl, el = _torch_loaders(cfg, n_train, n_test, "BTCHW",
+                            label_dtype=np.int64)
+    t0 = time.perf_counter()
+    model, _, _ = ref.train_model(model, tl, el, num_epochs=epochs,
+                                  lr=cfg.optim.lr)
+    model.eval()
+    scores, labels = [], []
+    with torch.no_grad():
+        for videos, y in el:
+            out = model(videos)
+            scores.append(out["anomaly_scores"].numpy())
+            labels.append(y.numpy())
+    ref_auc = float(roc_auc_score(np.concatenate(labels),
+                                  np.concatenate(scores)))
+    ref_s = time.perf_counter() - t0
+    return {"family": "a", "profile": profile, "epochs": epochs,
+            "lr": cfg.optim.lr, "n_train": n_train, "n_test": n_test,
+            "reference_auc": ref_auc, "ours_auc": ours_auc,
+            "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
+
+
+def run_family_c(epochs: int, n_train: int, out_dir: Path,
+                 profile: str = "hard") -> dict:
     """Supervised 3D CNN: both sides Adam(lr), StepLR, BCE on true labels."""
     from cvad_tpu.config import preset
 
     cfg = preset("family_c")
     cfg = cfg.replace(
-        data=cfg.data.replace(dataset="synthetic", batch_size=16),
+        data=cfg.data.replace(dataset="synthetic", batch_size=16,
+                              synthetic_profile=profile),
         train=cfg.train.replace(num_epochs=epochs, out_dir=str(out_dir / "ours_c"),
                                 log_every=10**9))
     n_test = max(n_train // 2, 2)
@@ -152,14 +215,15 @@ def run_family_c(epochs: int, n_train: int, out_dir: Path) -> dict:
     trainer.train_model(epochs, save_path=str(out_dir / "ref_c.pth"))
     ref_auc = float(trainer.history["test_auc"][-1])
     ref_s = time.perf_counter() - t0
-    return {"family": "c", "epochs": epochs, "lr": cfg.optim.lr,
+    return {"family": "c", "profile": profile, "epochs": epochs,
+            "lr": cfg.optim.lr,
             "n_train": n_train, "n_test": n_test,
             "reference_auc": ref_auc, "ours_auc": ours_auc,
             "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
 
 
 def run_family_b(epochs: int, n_train: int, out_dir: Path,
-                 lr: float = 1e-4) -> dict:
+                 lr: float = 1e-4, profile: str = "hard") -> dict:
     """Normal-only AE + memory bank; scored by the 0.7/0.3 blend.
 
     The reference main() trains at lr=1e-6 for 25+ epochs on real Ped2; the
@@ -169,7 +233,8 @@ def run_family_b(epochs: int, n_train: int, out_dir: Path,
 
     cfg = preset("family_b")
     cfg = cfg.replace(
-        data=cfg.data.replace(dataset="synthetic", batch_size=8),
+        data=cfg.data.replace(dataset="synthetic", batch_size=8,
+                              synthetic_profile=profile),
         optim=cfg.optim.replace(lr=lr),
         train=cfg.train.replace(num_epochs=epochs, out_dir=str(out_dir / "ours_b"),
                                 log_every=10**9, early_stop_patience=0))
@@ -193,7 +258,7 @@ def run_family_b(epochs: int, n_train: int, out_dir: Path,
         os.chdir(cwd)
     ref_auc = float(roc_auc_score(labels, scores))
     ref_s = time.perf_counter() - t0
-    return {"family": "b", "epochs": epochs, "lr": lr,
+    return {"family": "b", "profile": profile, "epochs": epochs, "lr": lr,
             "n_train": n_train, "n_test": n_test,
             "reference_auc": ref_auc, "ours_auc": ours_auc,
             "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
@@ -203,19 +268,39 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="small config (CI-sized); full study otherwise")
+    ap.add_argument("--profile", default="hard", choices=["easy", "hard"],
+                    help="synthetic task difficulty (hard = non-saturating)")
+    ap.add_argument("--families", default="c,b,a",
+                    help="comma list of families to run (subset of a,b,c)")
     ap.add_argument("--out", default=str(REPO / "runs" / "auc_parity"))
     args = ap.parse_args()
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    fams = [f.strip() for f in args.families.split(",") if f.strip()]
 
-    if args.fast:
-        rows = [run_family_c(4, 48, out_dir), run_family_b(4, 48, out_dir)]
-    else:
-        rows = [run_family_c(10, 192, out_dir), run_family_b(8, 192, out_dir)]
+    # epochs sized past the hard task's takeoff point (~epoch 10-12 for C:
+    # both implementations' AUC trajectories climb steeply late — a
+    # 12-epoch cut measures seed luck, not converged quality)
+    sizes = ({"c": (4, 48), "b": (4, 48), "a": (3, 32)} if args.fast
+             else {"c": (20, 256), "b": (8, 192), "a": (12, 128)})
+    runners = {"c": run_family_c, "b": run_family_b, "a": run_family_a}
+    rows = []
+    for fam in fams:
+        epochs, n_train = sizes[fam]
+        rows.append(runners[fam](epochs, n_train, out_dir,
+                                 profile=args.profile))
+        # crash-safe partial write: a multi-hour CPU study shouldn't lose
+        # finished rows to a failure in a later family
+        (out_dir / "results.json").write_text(json.dumps(
+            {"rows": rows, "measured_at": time.time(),
+             "profile": args.profile, "partial": fam != fams[-1]}, indent=1))
 
     results = {"rows": rows, "measured_at": time.time(),
+               "profile": args.profile,
                "note": "identical uint8-quantized synthetic clips both sides; "
-                       "AUC on the held-out Test split (anomaly_rate 0.5)"}
+                       "AUC on the held-out Test split (anomaly_rate 0.5); "
+                       "profile='hard' = motion-coherence-only anomalies "
+                       "(appearance stats identical both classes)"}
     (out_dir / "results.json").write_text(json.dumps(results, indent=1))
     print(f"\n{'family':8s} {'ref AUC':>8s} {'ours AUC':>9s} "
           f"{'ref s':>7s} {'ours s':>7s}")

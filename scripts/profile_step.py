@@ -103,10 +103,12 @@ def report(logdir: str, steps: int = 10) -> None:
         print(f"SUM of ops: {op_total/steps:9.1f} us/step "
               f"(gaps = step - sum)")
         print(f"{'-'*78}")
-        for name, us in agg.most_common(40):
+        rows = int(os.environ.get("CVAD_PROF_ROWS", 40))
+        width = int(os.environ.get("CVAD_PROF_WIDTH", 100))
+        for name, us in agg.most_common(rows):
             if name.startswith("jit_"):
                 continue
-            print(f"  {us/steps:9.1f} us/step x{cnt[name]:<4d} {name[:100]}")
+            print(f"  {us/steps:9.1f} us/step x{cnt[name]:<4d} {name[:width]}")
 
 
 def main():

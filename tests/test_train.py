@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from cvad_tpu.config import OptimConfig, preset
@@ -31,6 +32,44 @@ def _mesh1():
 
 
 # -- schedulers --------------------------------------------------------------
+
+
+def test_family_c_optimizer_matches_torch():
+    """The full family-C update rule vs torch: Adam with COUPLED weight
+    decay (optim.Adam(weight_decay=1e-5)) plus the reference's conditional
+    clip — rescale to 1.0 only when the global grad norm exceeds 10
+    (minicausal_vad_complete3.py:227-233, 307-309)."""
+    import torch
+
+    from cvad_tpu.config import OptimConfig
+    from cvad_tpu.train.optim import build_optimizer
+
+    cfg = OptimConfig(optimizer="adam", lr=1e-3, weight_decay=1e-5,
+                      grad_clip=1.0, clip_trigger=10.0)
+    tx = build_optimizer(cfg)
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(0, 1, (4, 3)).astype(np.float32)
+    # alternate small / large gradients across the trigger boundary
+    grads = [rng.normal(0, s, (4, 3)).astype(np.float32)
+             for s in (0.1, 1.0, 5.0, 0.3)]
+
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([tw], lr=1e-3, weight_decay=1e-5, eps=1e-8)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        gn = float(torch.linalg.vector_norm(tw.grad))
+        if gn > 10.0:
+            torch.nn.utils.clip_grad_norm_([tw], 1.0)
+        opt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), atol=2e-6)
 
 
 def test_plateau_scheduler_matches_torch():
@@ -154,6 +193,50 @@ def test_family_b_fit(tmp_path):
     assert int(tr.state.extra.fill) > 0
     ev = hist["evaluation_metrics"][-1]
     assert "auc" in ev and "normal_mean" in ev
+
+
+def test_family_b_bn_absorbed_biases(tmp_path):
+    """Conv biases immediately followed by BatchNorm have analytically-zero
+    training gradients (the batch-mean subtraction absorbs them,
+    causal_anomaly_detection1.py:129-178) — the step must leave them
+    bit-unchanged while live biases (deconv_out, fc) keep training."""
+    cfg = preset("family_b")
+    cfg = _small(cfg, tmp_path, epochs=1, batch=6, hw=(64, 64))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=6)
+    batch = next(iter(train_loader))
+    tr.init_state(batch)
+    p0 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    tr.fit(train_loader, eval_loader)
+    p1 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    for i in range(4):
+        np.testing.assert_array_equal(p0["encoder"][f"conv_{i}"]["bias"],
+                                      p1["encoder"][f"conv_{i}"]["bias"])
+    for i in range(3):
+        np.testing.assert_array_equal(p0["decoder"][f"deconv_{i}"]["bias"],
+                                      p1["decoder"][f"deconv_{i}"]["bias"])
+    assert not np.array_equal(p0["decoder"]["deconv_out"]["bias"],
+                              p1["decoder"]["deconv_out"]["bias"])
+    assert not np.array_equal(p0["encoder"]["conv_0"]["kernel"],
+                              p1["encoder"]["conv_0"]["kernel"])
+
+
+def test_family_b_loss_sufficient_stats_exact():
+    """The train loss's sufficient-statistics form equals the naive
+    mean((repeat(frame,T) - flat)^2) per-sample error to f32 roundoff."""
+    rng = np.random.default_rng(1)
+    b, t, h, w, c = 3, 5, 8, 8, 3
+    flat = jnp.asarray(rng.uniform(0, 1, (b * t, h, w, c)).astype(np.float32))
+    frame = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+    diff = jnp.repeat(frame, t, axis=0) - flat
+    naive = jnp.mean(diff * diff, axis=(1, 2, 3)).reshape(b, t).mean(axis=1)
+    xf = flat.reshape((b, t, h, w, c))
+    xbar = xf.mean(axis=1)
+    x2m = jnp.mean(xf * xf, axis=(1, 2, 3, 4))
+    err = (jnp.mean(frame * frame, axis=(1, 2, 3))
+           - 2.0 * jnp.mean(frame * xbar, axis=(1, 2, 3)) + x2m)
+    np.testing.assert_allclose(np.asarray(err), np.asarray(naive),
+                               rtol=0, atol=5e-6)
 
 
 def test_family_a_fit(tmp_path):
