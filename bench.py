@@ -624,6 +624,16 @@ def main() -> None:
                         "number (see BENCH history for TPU runs)")
     print(json.dumps(line), flush=True)
     context = {"headline": line, "measured_at": time.time()}
+    try:
+        # honesty flag (round-2 verdict weak #2): on this 1-core host any
+        # concurrent load skews the host-bound context lines (decode fps,
+        # end-to-end epoch) — record the 1-min load average at sweep start
+        # so clean and contended artifacts are distinguishable
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        context["load_avg_start"] = load1
+        context["contended"] = load1 > 1.5
+    except OSError:
+        pass
     out_path = Path(__file__).parent / "runs" / "bench_latest.json"
     if fallback:
         log("cpu-fallback: skipping the TPU context sweep")

@@ -3,7 +3,9 @@ implementation and the framework trained on byte-identical synthetic clips
 under the same recipe produce matching test-set ROC-AUC.
 
 The CI-sized configs here are deterministic (fixed torch/jax seeds, CPU);
-the full-size artifact lives in runs/auc_parity/results.json.  Family D is
+the full-size artifact lives in runs/auc_parity/results.json.  CI size
+uses the original separable 'easy' profile (the 'hard' profile needs
+full-size training to leave the chance regime; see the study docstring).  Family D is
 excluded by design — its reference loss trains against random pseudo-labels
 (avenue_training_script2.py:139-141), so supervised AUC is chance for any
 faithful implementation (see the study module docstring).
@@ -29,7 +31,7 @@ def test_family_c_auc_parity(tmp_path):
     """Supervised family C: both sides separate the synthetic anomalies
     essentially perfectly, and agree with each other."""
     study = _load_study()
-    r = study.run_family_c(4, 48, tmp_path)
+    r = study.run_family_c(4, 48, tmp_path, profile="easy")
     assert r["reference_auc"] >= 0.9, r
     assert r["ours_auc"] >= 0.9, r
     assert abs(r["ours_auc"] - r["reference_auc"]) <= 0.05, r
@@ -42,5 +44,5 @@ def test_family_b_auc_tracks_reference(tmp_path):
     behavior (the full-size runs/auc_parity artifact holds the trained
     comparison)."""
     study = _load_study()
-    r = study.run_family_b(4, 48, tmp_path)
+    r = study.run_family_b(4, 48, tmp_path, profile="easy")
     assert abs(r["ours_auc"] - r["reference_auc"]) <= 0.15, r
