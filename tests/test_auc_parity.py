@@ -38,6 +38,18 @@ def test_family_c_auc_parity(tmp_path):
 
 
 @requires_reference
+def test_family_a_auc_tracks_reference(tmp_path):
+    """12-stage pipeline at CI size is under-trained on BOTH sides (each
+    near chance on the hard profile at 3 epochs x 32 clips; measured ref
+    0.33 / ours 0.38 at this size) — the assertion is that the two
+    implementations track each other; the trained comparison lives in
+    runs/auc_parity/results.json (hard profile: ref 0.471, ours 0.665)."""
+    study = _load_study()
+    r = study.run_family_a(3, 32, tmp_path, profile="hard")
+    assert abs(r["ours_auc"] - r["reference_auc"]) <= 0.25, r
+
+
+@requires_reference
 def test_family_b_auc_tracks_reference(tmp_path):
     """Normal-only family B at CI size is under-trained on BOTH sides —
     the parity claim is that the two implementations track each other's
