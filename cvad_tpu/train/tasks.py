@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Tuple
 
+import re
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -157,6 +159,9 @@ def _family_c_task(cfg: ExperimentConfig) -> Task:
         valid = batch.get("valid")
 
         def loss_fn(params):
+            # conv_{i} biases feed straight into BatchNorm3d — analytically
+            # zero gradients (see stop_bn_absorbed_biases)
+            params = stop_bn_absorbed_biases(params)
             scores, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["clips"], train=True, deterministic=False, valid=valid,
@@ -342,13 +347,23 @@ def stop_frozen_stem(params):
         params)
 
 
+_BN_ABSORBED = re.compile(r"^(conv_\d|deconv_\d|layer\d_conv\d)$")
+
+
 def _is_bn_absorbed_bias(path) -> bool:
+    """Bias leaves of conv modules that feed straight into BatchNorm.
+
+    Name patterns per family (each verified conv->BN in the reference):
+    ``conv_{i}``/``deconv_{i}`` — family B encoder/decoder
+    (causal_anomaly_detection1.py:129-178; ``deconv_out`` feeds a sigmoid
+    and is excluded by the pattern) and family C's 3-D tower
+    (minicausal_vad_complete3.py:38-55); ``layer{N}_conv{M}`` — family A's
+    backbone stages (causal_anomaly_detection.py:128-139; the stem conv1
+    is already frozen by requires_grad parity)."""
     keys = {getattr(k, "key", None) for k in path}
     if "bias" not in keys:
         return False
-    return any(isinstance(k, str) and (k.startswith("conv_")
-                                       or k.startswith("deconv_"))
-               and k != "deconv_out" for k in keys)
+    return any(isinstance(k, str) and _BN_ABSORBED.match(k) for k in keys)
 
 
 def stop_bn_absorbed_biases(params):
@@ -409,6 +424,11 @@ def _family_a_task(cfg: ExperimentConfig) -> Task:
         def loss_fn(params):
             if cfg.model.freeze_stem:
                 params = stop_frozen_stem(params)
+            # layer{N}_conv{M} biases feed straight into BatchNorm2d —
+            # analytically zero gradients, and at 240x360 frames each
+            # standalone bias-grad reduction is a full pass over a
+            # 40-350 MB activation (see stop_bn_absorbed_biases)
+            params = stop_bn_absorbed_biases(params)
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["clips"], rng=r_vae, train=True, deterministic=False,

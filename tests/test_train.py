@@ -221,6 +221,29 @@ def test_family_b_bn_absorbed_biases(tmp_path):
                               p1["encoder"]["conv_0"]["kernel"])
 
 
+def test_family_c_bn_absorbed_biases(tmp_path):
+    """Family C's conv_{i} -> BatchNorm3d biases likewise have analytically
+    zero gradients; head biases (cls_*) keep training."""
+    cfg = preset("family_c")
+    cfg = _small(cfg, tmp_path, epochs=1, batch=6, hw=(32, 32))
+    # wd=0 isolates the structural zero: with the reference's coupled
+    # wd=1e-5 the dead biases still drift at lr scale (Adam normalizes the
+    # decay term — torch behaves identically on its noise-level grads)
+    cfg = cfg.replace(data=cfg.data.replace(channels=1, clip_len=4),
+                      optim=cfg.optim.replace(weight_decay=0.0))
+    tr = Trainer(cfg, mesh=_mesh1())
+    train_loader, eval_loader = make_loaders(cfg, n_synthetic=6)
+    batch = next(iter(train_loader))
+    tr.init_state(batch)
+    p0 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    tr.fit(train_loader, eval_loader)
+    p1 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    for i in range(3):
+        np.testing.assert_array_equal(p0[f"conv_{i}"]["conv"]["bias"],
+                                      p1[f"conv_{i}"]["conv"]["bias"])
+    assert not np.array_equal(p0["cls_6"]["bias"], p1["cls_6"]["bias"])
+
+
 def test_family_b_loss_sufficient_stats_exact():
     """The train loss's sufficient-statistics form equals the naive
     mean((repeat(frame,T) - flat)^2) per-sample error to f32 roundoff."""
