@@ -196,8 +196,13 @@ def run_family_a(epochs: int, n_train: int, out_dir: Path,
 
 
 def run_family_c(epochs: int, n_train: int, out_dir: Path,
-                 profile: str = "hard") -> dict:
-    """Supervised 3D CNN: both sides Adam(lr), StepLR, BCE on true labels."""
+                 profile: str = "hard", seed: int | None = None) -> dict:
+    """Supervised 3D CNN: both sides Adam(lr), StepLR, BCE on true labels.
+
+    ``seed`` varies ONLY the init/dropout draw (our ``train.seed``, torch's
+    ``manual_seed``); the dataset (``data.seed``) and the torch loader's
+    shuffle generator stay fixed so every seed trains on the identical task.
+    """
     from cvad_tpu.config import preset
 
     cfg = preset("family_c")
@@ -206,6 +211,8 @@ def run_family_c(epochs: int, n_train: int, out_dir: Path,
                               synthetic_profile=profile),
         train=cfg.train.replace(num_epochs=epochs, out_dir=str(out_dir / "ours_c"),
                                 log_every=10**9))
+    if seed is not None:
+        cfg = cfg.replace(train=cfg.train.replace(seed=seed))
     n_test = max(n_train // 2, 2)
     ours_auc, ours_best, ours_s = _ours_auc(cfg, n_train)
 
@@ -223,7 +230,7 @@ def run_family_c(epochs: int, n_train: int, out_dir: Path,
     ref_auc = float(trainer.history["test_auc"][-1])
     ref_s = time.perf_counter() - t0
     return {"family": "c", "profile": profile, "epochs": epochs,
-            "lr": cfg.optim.lr,
+            "lr": cfg.optim.lr, "seed": cfg.train.seed,
             "n_train": n_train, "n_test": n_test,
             "reference_auc": ref_auc, "ours_auc": ours_auc,
             "reference_best_auc": round(max(trainer.history["test_auc"]), 4),
@@ -274,6 +281,47 @@ def run_family_b(epochs: int, n_train: int, out_dir: Path,
             "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
 
 
+def _aggregate_seeds(rows: list[dict]) -> dict:
+    """Collapse per-seed rows into a distribution summary (mean/std/min/max
+    for final and best AUC, both sides)."""
+
+    def stats(key):
+        v = np.array([r[key] for r in rows], dtype=np.float64)
+        return {"mean": round(float(v.mean()), 4),
+                "std": round(float(v.std(ddof=1)) if len(v) > 1 else 0.0, 4),
+                "min": round(float(v.min()), 4),
+                "max": round(float(v.max()), 4)}
+
+    return {"family": rows[0]["family"], "profile": rows[0]["profile"],
+            "epochs": rows[0]["epochs"], "n_train": rows[0]["n_train"],
+            "seeds": [r["seed"] for r in rows],
+            "reference_auc": stats("reference_auc"),
+            "ours_auc": stats("ours_auc"),
+            "reference_best_auc": stats("reference_best_auc"),
+            "ours_best_auc": stats("ours_best_auc"),
+            "per_seed": rows}
+
+
+def run_multiseed(family: str, epochs: int, n_train: int, out_dir: Path,
+                  profile: str, seeds: list[int], runner) -> dict:
+    """Run ``runner`` once per seed (init/dropout draw only — same task) and
+    aggregate.  Crash-safe: partial per-seed rows land in
+    ``results_seeds.json`` after every seed so a wall-clock kill loses at
+    most one seed."""
+    rows = []
+    for s in seeds:
+        rows.append(runner(epochs, n_train, out_dir, profile=profile, seed=s))
+        (out_dir / "results_seeds.json").write_text(json.dumps(
+            {"rows": rows, "measured_at": time.time(), "profile": profile,
+             "partial": s != seeds[-1]}, indent=1))
+        r = rows[-1]
+        print(f"  seed {s}: ref {r['reference_auc']:.3f} "
+              f"(best {r['reference_best_auc']:.3f})  ours "
+              f"{r['ours_auc']:.3f} (best {r['ours_best_auc']:.3f})",
+              flush=True)
+    return _aggregate_seeds(rows)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
@@ -282,6 +330,11 @@ def main() -> None:
                     help="synthetic task difficulty (hard = non-saturating)")
     ap.add_argument("--families", default="c,b,a",
                     help="comma list of families to run (subset of a,b,c)")
+    ap.add_argument("--seeds", default="",
+                    help="comma list of init seeds; when set, every selected "
+                         "family that supports it runs once per seed and the "
+                         "study reports the AUC distribution (mean/std) "
+                         "instead of a single draw")
     ap.add_argument("--out", default=str(REPO / "runs" / "auc_parity"))
     args = ap.parse_args()
     out_dir = Path(args.out)
@@ -294,6 +347,37 @@ def main() -> None:
     sizes = ({"c": (4, 48), "b": (4, 48), "a": (3, 32)} if args.fast
              else {"c": (20, 256), "b": (8, 192), "a": (12, 128)})
     runners = {"c": run_family_c, "b": run_family_b, "a": run_family_a}
+
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+        agg_rows = []
+        for fam in fams:
+            if fam != "c":
+                print(f"[multiseed] family {fam} not seed-parameterized yet "
+                      f"— skipping", flush=True)
+                continue
+            epochs, n_train = sizes[fam]
+            print(f"[multiseed] family {fam}: {len(seeds)} seeds × "
+                  f"{epochs} epochs", flush=True)
+            agg_rows.append(run_multiseed(fam, epochs, n_train, out_dir,
+                                          args.profile, seeds, runners[fam]))
+            (out_dir / "results_multiseed.json").write_text(json.dumps(
+                {"rows": agg_rows, "measured_at": time.time(),
+                 "profile": args.profile,
+                 "note": "seed varies ONLY the init/dropout draw; dataset "
+                         "and shuffle order fixed; AUC distribution over "
+                         "seeds, identical uint8 clips both sides"},
+                indent=1))
+        print(f"\n{'family':8s} {'ref AUC (mean±std)':>20s} "
+              f"{'ours AUC (mean±std)':>20s}")
+        for r in agg_rows:
+            ra, oa = r["reference_auc"], r["ours_auc"]
+            print(f"{r['family']:8s} {ra['mean']:10.3f}±{ra['std']:.3f} "
+                  f"{oa['mean']:12.3f}±{oa['std']:.3f}   "
+                  f"(best: ref {r['reference_best_auc']['mean']:.3f} "
+                  f"ours {r['ours_best_auc']['mean']:.3f})")
+        return
+
     rows = []
     for fam in fams:
         epochs, n_train = sizes[fam]
