@@ -147,9 +147,11 @@ def _ours_auc(cfg, n_train):
 
 
 def run_family_a(epochs: int, n_train: int, out_dir: Path,
-                 profile: str = "hard") -> dict:
+                 profile: str = "hard", seed: int | None = None) -> dict:
     """12-stage causal pipeline (enhanced): both sides frozen-stem AdamW +
-    cosine, the reference 4-term loss, AUC on the blended anomaly scores."""
+    cosine, the reference 4-term loss, AUC on the blended anomaly scores.
+
+    ``seed`` varies ONLY the init/dropout draw (see run_family_c)."""
     from cvad_tpu.config import preset
 
     cfg = preset("family_a")
@@ -160,6 +162,8 @@ def run_family_a(epochs: int, n_train: int, out_dir: Path,
         train=cfg.train.replace(num_epochs=epochs,
                                 out_dir=str(out_dir / "ours_a"),
                                 log_every=10**9))
+    if seed is not None:
+        cfg = cfg.replace(train=cfg.train.replace(seed=seed))
     n_test = max(n_train // 2, 2)
     ours_auc, ours_best, ours_s = _ours_auc(cfg, n_train)
 
@@ -189,7 +193,8 @@ def run_family_a(epochs: int, n_train: int, out_dir: Path,
                                   np.concatenate(scores)))
     ref_s = time.perf_counter() - t0
     return {"family": "a", "profile": profile, "epochs": epochs,
-            "lr": cfg.optim.lr, "n_train": n_train, "n_test": n_test,
+            "lr": cfg.optim.lr, "seed": cfg.train.seed,
+            "n_train": n_train, "n_test": n_test,
             "reference_auc": ref_auc, "ours_auc": ours_auc,
             "ours_best_auc": round(ours_best, 4),
             "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
@@ -239,7 +244,8 @@ def run_family_c(epochs: int, n_train: int, out_dir: Path,
 
 
 def run_family_b(epochs: int, n_train: int, out_dir: Path,
-                 lr: float = 1e-4, profile: str = "hard") -> dict:
+                 lr: float = 1e-4, profile: str = "hard",
+                 seed: int | None = None) -> dict:
     """Normal-only AE + memory bank; scored by the 0.7/0.3 blend.
 
     The reference main() trains at lr=1e-6 for 25+ epochs on real Ped2; the
@@ -254,6 +260,8 @@ def run_family_b(epochs: int, n_train: int, out_dir: Path,
         optim=cfg.optim.replace(lr=lr),
         train=cfg.train.replace(num_epochs=epochs, out_dir=str(out_dir / "ours_b"),
                                 log_every=10**9, early_stop_patience=0))
+    if seed is not None:
+        cfg = cfg.replace(train=cfg.train.replace(seed=seed))
     n_test = max(n_train // 2, 2)
     ours_auc, ours_best, ours_s = _ours_auc(cfg, n_train)
 
@@ -275,7 +283,7 @@ def run_family_b(epochs: int, n_train: int, out_dir: Path,
     ref_auc = float(roc_auc_score(labels, scores))
     ref_s = time.perf_counter() - t0
     return {"family": "b", "profile": profile, "epochs": epochs, "lr": lr,
-            "n_train": n_train, "n_test": n_test,
+            "seed": cfg.train.seed, "n_train": n_train, "n_test": n_test,
             "reference_auc": ref_auc, "ours_auc": ours_auc,
             "ours_best_auc": round(ours_best, 4),
             "reference_wall_s": round(ref_s, 1), "ours_wall_s": round(ours_s, 1)}
@@ -283,41 +291,52 @@ def run_family_b(epochs: int, n_train: int, out_dir: Path,
 
 def _aggregate_seeds(rows: list[dict]) -> dict:
     """Collapse per-seed rows into a distribution summary (mean/std/min/max
-    for final and best AUC, both sides)."""
+    for final and best AUC, both sides).  Keys absent from the rows (the
+    A/B reference loops expose no per-epoch AUC, so no reference_best_auc)
+    are skipped rather than KeyError'd."""
 
     def stats(key):
-        v = np.array([r[key] for r in rows], dtype=np.float64)
+        v = np.array([r[key] for r in rows if key in r], dtype=np.float64)
+        if v.size == 0:
+            return None
         return {"mean": round(float(v.mean()), 4),
                 "std": round(float(v.std(ddof=1)) if len(v) > 1 else 0.0, 4),
                 "min": round(float(v.min()), 4),
                 "max": round(float(v.max()), 4)}
 
-    return {"family": rows[0]["family"], "profile": rows[0]["profile"],
-            "epochs": rows[0]["epochs"], "n_train": rows[0]["n_train"],
-            "seeds": [r["seed"] for r in rows],
-            "reference_auc": stats("reference_auc"),
-            "ours_auc": stats("ours_auc"),
-            "reference_best_auc": stats("reference_best_auc"),
-            "ours_best_auc": stats("ours_best_auc"),
-            "per_seed": rows}
+    agg = {"family": rows[0]["family"], "profile": rows[0]["profile"],
+           "epochs": rows[0]["epochs"], "n_train": rows[0]["n_train"],
+           "seeds": [r["seed"] for r in rows]}
+    for key in ("reference_auc", "ours_auc",
+                "reference_best_auc", "ours_best_auc"):
+        st = stats(key)
+        if st is not None:
+            agg[key] = st
+    agg["per_seed"] = rows
+    return agg
 
 
 def run_multiseed(family: str, epochs: int, n_train: int, out_dir: Path,
                   profile: str, seeds: list[int], runner) -> dict:
     """Run ``runner`` once per seed (init/dropout draw only — same task) and
     aggregate.  Crash-safe: partial per-seed rows land in
-    ``results_seeds.json`` after every seed so a wall-clock kill loses at
-    most one seed."""
+    ``results_seeds_{family}.json`` after every seed so a wall-clock kill
+    loses at most one seed.  The first seed of each family pays the jit
+    compile — its row is flagged ``cold`` and its wall time is NOT a
+    steady-state number (same convention as bench.py's contention flag)."""
     rows = []
-    for s in seeds:
-        rows.append(runner(epochs, n_train, out_dir, profile=profile, seed=s))
-        (out_dir / "results_seeds.json").write_text(json.dumps(
+    for i, s in enumerate(seeds):
+        row = runner(epochs, n_train, out_dir, profile=profile, seed=s)
+        row["cold"] = (i == 0)
+        rows.append(row)
+        (out_dir / f"results_seeds_{family}.json").write_text(json.dumps(
             {"rows": rows, "measured_at": time.time(), "profile": profile,
-             "partial": s != seeds[-1]}, indent=1))
-        r = rows[-1]
-        print(f"  seed {s}: ref {r['reference_auc']:.3f} "
-              f"(best {r['reference_best_auc']:.3f})  ours "
-              f"{r['ours_auc']:.3f} (best {r['ours_best_auc']:.3f})",
+             "partial": i != len(seeds) - 1}, indent=1) + "\n")
+        best = (f" (best {row['reference_best_auc']:.3f})"
+                if "reference_best_auc" in row else "")
+        print(f"  seed {s}: ref {row['reference_auc']:.3f}{best}  ours "
+              f"{row['ours_auc']:.3f} (best {row['ours_best_auc']:.3f})"
+              f"{'  [cold]' if row['cold'] else ''}",
               flush=True)
     return _aggregate_seeds(rows)
 
@@ -352,10 +371,6 @@ def main() -> None:
         seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
         agg_rows = []
         for fam in fams:
-            if fam != "c":
-                print(f"[multiseed] family {fam} not seed-parameterized yet "
-                      f"— skipping", flush=True)
-                continue
             epochs, n_train = sizes[fam]
             print(f"[multiseed] family {fam}: {len(seeds)} seeds × "
                   f"{epochs} epochs", flush=True)
@@ -372,10 +387,12 @@ def main() -> None:
               f"{'ours AUC (mean±std)':>20s}")
         for r in agg_rows:
             ra, oa = r["reference_auc"], r["ours_auc"]
+            best = (f"(best: ref {r['reference_best_auc']['mean']:.3f} "
+                    f"ours {r['ours_best_auc']['mean']:.3f})"
+                    if "reference_best_auc" in r
+                    else f"(ours best {r['ours_best_auc']['mean']:.3f})")
             print(f"{r['family']:8s} {ra['mean']:10.3f}±{ra['std']:.3f} "
-                  f"{oa['mean']:12.3f}±{oa['std']:.3f}   "
-                  f"(best: ref {r['reference_best_auc']['mean']:.3f} "
-                  f"ours {r['ours_best_auc']['mean']:.3f})")
+                  f"{oa['mean']:12.3f}±{oa['std']:.3f}   {best}")
         return
 
     rows = []

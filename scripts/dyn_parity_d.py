@@ -1,0 +1,252 @@
+"""Family-D training-dynamics parity: reference torch trainer vs our engine.
+
+The reference's only real-data training artifact is
+``improved_training_history.json`` (80 epochs of `avenue_training_script2.py`
+on CUHK Avenue: acyclicity 1.917 -> 5.59e-5, score_range 2.01e-2 -> 4.91e-5,
+plateau-lr staircase 5e-4 -> 1.22e-7).  AUC parity is meaningless for this
+family — its loss trains against 5% *random* pseudo-labels
+(`avenue_training_script2.py:139-141`) — so "trains like the reference" means
+the **component trajectories** move the same way on the same data:
+
+- acyclicity loss decays by orders of magnitude (the NOTEARS trace term),
+- sparsity_ratio / edge_count settle into the 10..40-edge band the
+  structure term encourages,
+- the ReduceLROnPlateau staircase fires at comparable epochs,
+- eval score_range collapses as scores concentrate.
+
+Both sides consume byte-identical uint8-quantized synthetic clips (same
+recipe as scripts/auc_parity.py); each keeps its own init and its own
+per-batch pseudo-label draws — the study compares dynamics distributions,
+not bit equality (the reference itself is not seed-reproducible: its
+pseudo-labels come from an unseeded ``torch.rand_like`` per batch).
+
+Reference trainer: `avenue_training_script2.py:107-297` (AdamW 5e-4/1e-3,
+5-term `compute_improved_loss`, clip 0.5, plateau factor 0.5 patience 5,
+driver loop :398-460 evaluating every 5 epochs).  Ours:
+`cvad_tpu.compat.train_improved_minicausal_vad` (same driver contract).
+
+Usage: python scripts/dyn_parity_d.py [--epochs 30] [--n-train 128]
+Writes runs/dyn_parity_d/{ref_history,ours_history,comparison}.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from auc_parity import load_reference_module, _torch_view  # noqa: E402
+
+
+class _EpochShuffledLoader:
+    """Framework-side loader: dict batches, reshuffled every epoch (the
+    torch DataLoader semantics the reference driver sees)."""
+
+    def __init__(self, clips: np.ndarray, labels: np.ndarray,
+                 batch_size: int, seed: int, shuffle: bool = True):
+        self.clips, self.labels = clips, labels
+        self.batch_size, self.shuffle = batch_size, shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.clips) // self.batch_size
+
+    def __iter__(self):
+        idx = np.arange(len(self.clips))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        for i in range(len(self)):
+            sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
+            yield {"clips": self.clips[sel], "labels": self.labels[sel]}
+
+
+def _make_data(n_train: int, n_test: int, batch_size: int, cfg):
+    """Byte-identical uint8-quantized clips for both sides."""
+    from cvad_tpu.data.datasets import SyntheticClipDataset
+
+    tr = SyntheticClipDataset(cfg.data, n=n_train, split="Train")
+    te = SyntheticClipDataset(cfg.data, n=n_test, split="Test")
+    # channels-last float view (framework) — same values the torch view gets
+    xtr, ytr = _torch_view(tr, cfg.data.normalize_clamp, "THWC_KEEP")
+    xte, yte = _torch_view(te, cfg.data.normalize_clamp, "THWC_KEEP")
+    ours = (_EpochShuffledLoader(xtr, ytr, batch_size, seed=cfg.data.seed),
+            _EpochShuffledLoader(xte, yte, batch_size, shuffle=False,
+                                 seed=cfg.data.seed))
+    # torch view: (B, C, T, H, W)
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+    t_xtr = np.ascontiguousarray(xtr.transpose(0, 4, 1, 2, 3))
+    t_xte = np.ascontiguousarray(xte.transpose(0, 4, 1, 2, 3))
+    gen = torch.Generator().manual_seed(cfg.data.seed)
+    ref = (DataLoader(TensorDataset(torch.from_numpy(t_xtr),
+                                    torch.from_numpy(ytr)),
+                      batch_size=batch_size, shuffle=True, generator=gen),
+           DataLoader(TensorDataset(torch.from_numpy(t_xte),
+                                    torch.from_numpy(yte)),
+                      batch_size=batch_size, shuffle=False))
+    return ours, ref
+
+
+def run_reference(epochs: int, loaders, seed: int, out_dir: Path) -> dict:
+    """The reference driver loop (`avenue_training_script2.py:398-460`),
+    CPU device, history in the v2 schema."""
+    import torch
+
+    ref = load_reference_module("avenue_training_script2")
+    torch.manual_seed(seed)
+    model = ref.ImprovedMiniCausalVAD(device="cpu")
+    train_loader, test_loader = loaders
+    history = {"train_losses": [], "loss_components": [],
+               "evaluation_metrics": [], "epochs": [], "learning_rates": []}
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        train_loss, comps = model.train_epoch_improved(train_loader)
+        history["train_losses"].append(float(train_loss))
+        history["loss_components"].append(
+            {k: float(v) for k, v in comps.items()})
+        history["epochs"].append(epoch + 1)
+        history["learning_rates"].append(
+            float(model.optimizer.param_groups[0]["lr"]))
+        if epoch % 5 == 0 or epoch == epochs - 1:
+            _, _, eval_metrics = model.evaluate_improved(test_loader)
+            history["evaluation_metrics"].append(
+                {k: float(v) for k, v in eval_metrics.items()})
+    history["wall_s"] = round(time.perf_counter() - t0, 1)
+    (out_dir / "ref_history.json").write_text(json.dumps(history, indent=1))
+    return history
+
+
+def run_ours(epochs: int, loaders, out_dir: Path) -> dict:
+    from cvad_tpu.compat import train_improved_minicausal_vad
+
+    t0 = time.perf_counter()
+    _, history = train_improved_minicausal_vad(
+        dataset_path="", num_epochs=epochs, loaders=loaders,
+        output_dir=str(out_dir / "ours"))
+    history = {k: v for k, v in history.items()}
+    history["wall_s"] = round(time.perf_counter() - t0, 1)
+    (out_dir / "ours_history.json").write_text(json.dumps(history, indent=1))
+    return history
+
+
+def _staircase_epochs(lrs: list[float]) -> list[int]:
+    """1-based epochs after which the plateau scheduler cut the lr."""
+    return [i + 1 for i in range(1, len(lrs)) if lrs[i] < lrs[i - 1] * 0.99]
+
+
+def _traj(history: dict, key: str) -> np.ndarray:
+    return np.array([c[key] for c in history["loss_components"]], np.float64)
+
+
+def compare(ref: dict, ours: dict, shipped: dict | None) -> dict:
+    """Trajectory comparison: decay ratios, correlations, staircase timing."""
+    out = {}
+    for key in ("acyclicity_loss", "sparsity_ratio", "edge_count",
+                "anomaly_loss"):
+        r, o = _traj(ref, key), _traj(ours, key)
+        row = {"ref_first": round(float(r[0]), 6),
+               "ref_last": round(float(r[-1]), 6),
+               "ours_first": round(float(o[0]), 6),
+               "ours_last": round(float(o[-1]), 6)}
+        if key == "acyclicity_loss":
+            # decay spans orders of magnitude -> compare in log space
+            eps = 1e-12
+            row["ref_log10_decay"] = round(
+                float(np.log10(r[0] + eps) - np.log10(r[-1] + eps)), 3)
+            row["ours_log10_decay"] = round(
+                float(np.log10(o[0] + eps) - np.log10(o[-1] + eps)), 3)
+            lr_, lo = np.log10(r + eps), np.log10(o + eps)
+            if len(r) > 2 and lr_.std() > 0 and lo.std() > 0:
+                row["log_traj_pearson"] = round(
+                    float(np.corrcoef(lr_, lo)[0, 1]), 3)
+        else:
+            if len(r) > 2 and r.std() > 0 and o.std() > 0:
+                row["traj_pearson"] = round(float(np.corrcoef(r, o)[0, 1]), 3)
+        out[key] = row
+    out["lr_staircase"] = {
+        "ref_step_epochs": _staircase_epochs(ref["learning_rates"]),
+        "ours_step_epochs": _staircase_epochs(ours["learning_rates"]),
+        "ref_final_lr": ref["learning_rates"][-1],
+        "ours_final_lr": ours["learning_rates"][-1]}
+    for side, h in (("ref", ref), ("ours", ours)):
+        ev = h["evaluation_metrics"]
+        out.setdefault("score_range", {})[side] = {
+            "first": round(ev[0]["score_range"], 6),
+            "last": round(ev[-1]["score_range"], 6)}
+    if shipped is not None:
+        comps = shipped["loss_components"]
+        out["shipped_80epoch_context"] = {
+            "acyclicity_first": comps[0]["acyclicity_loss"],
+            "acyclicity_last": comps[-1]["acyclicity_loss"],
+            "lr_first": shipped["learning_rates"][0],
+            "lr_last": shipped["learning_rates"][-1],
+            "score_range_first":
+                shipped["evaluation_metrics"][0]["score_range"],
+            "score_range_last":
+                shipped["evaluation_metrics"][-1]["score_range"],
+            "note": "real CUHK Avenue, 80 epochs — shape context only "
+                    "(different data, horizon)"}
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n-train", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--out", default=str(REPO / "runs" / "dyn_parity_d"))
+    args = ap.parse_args()
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    from cvad_tpu.config import preset
+
+    cfg = preset("avenue_improved")
+    cfg = cfg.replace(data=cfg.data.replace(dataset="synthetic"))
+    n_test = max(args.n_train // 2, 4)
+    ours_loaders, ref_loaders = _make_data(args.n_train, n_test,
+                                           args.batch_size, cfg)
+
+    print(f"[dyn_parity_d] ours: {args.epochs} epochs x "
+          f"{len(ours_loaders[0])} batches", flush=True)
+    ours = run_ours(args.epochs, ours_loaders, out_dir)
+    print(f"[dyn_parity_d] ours done in {ours['wall_s']}s; reference...",
+          flush=True)
+    ref = run_reference(args.epochs, ref_loaders, cfg.train.seed, out_dir)
+    print(f"[dyn_parity_d] reference done in {ref['wall_s']}s", flush=True)
+
+    shipped_path = Path("/root/reference/improved_training_history.json")
+    shipped = (json.loads(shipped_path.read_text())
+               if shipped_path.exists() else None)
+    cmp = compare(ref, ours, shipped)
+    cmp["config"] = {"epochs": args.epochs, "n_train": args.n_train,
+                     "n_test": n_test, "batch_size": args.batch_size,
+                     "measured_at": time.time(),
+                     "ref_wall_s": ref["wall_s"], "ours_wall_s": ours["wall_s"],
+                     "note": "identical uint8 synthetic clips both sides; "
+                             "each side its own init + pseudo-label draws "
+                             "(reference's are unseeded by design)"}
+    (out_dir / "comparison.json").write_text(json.dumps(cmp, indent=1) + "\n")
+
+    acy = cmp["acyclicity_loss"]
+    print(f"\nacyclicity: ref {acy['ref_first']:.4g} -> {acy['ref_last']:.4g} "
+          f"(10^{acy['ref_log10_decay']}), ours {acy['ours_first']:.4g} -> "
+          f"{acy['ours_last']:.4g} (10^{acy['ours_log10_decay']})")
+    sp = cmp["sparsity_ratio"]
+    print(f"sparsity_ratio final: ref {sp['ref_last']:.3f} ours "
+          f"{sp['ours_last']:.3f}")
+    st = cmp["lr_staircase"]
+    print(f"lr staircase: ref steps {st['ref_step_epochs']} ours "
+          f"{st['ours_step_epochs']}")
+    print(f"results -> {out_dir / 'comparison.json'}")
+
+
+if __name__ == "__main__":
+    main()
