@@ -13,7 +13,8 @@ datasets ship:
   frame is anomalous iff any mask pixel is nonzero.
 - **CUHK Avenue**: ``<root>/[ground_truth_demo/]testing_label_mask/N_label.mat``
   MATLAB volumes — key ``volLabel`` is a (1, T) cell array of (H, W) masks.
-  Parsed with ``scipy.io.loadmat`` (v7.3/HDF5 variants raise a clear error).
+  Parsed with ``scipy.io.loadmat``; v7.3 (HDF5) variants fall back to an
+  h5py read of the object-reference cell layout.
 - **``.npy`` vectors**: ``<video>_gt.npy`` next to the video folder or a
   ``labels.npy``/``frame_labels.npy`` inside ``<video>_gt/`` — a (T,)
   0/1 vector.  This is the format our synthetic fixtures can also emit, so
@@ -124,10 +125,17 @@ def _mat_frame_labels(path: str) -> np.ndarray:
         from scipy.io import loadmat
 
         mat = loadmat(path)
-    except NotImplementedError as e:  # v7.3 (HDF5) files
+    except (NotImplementedError, ValueError) as e:
+        # v7.3 .mat files are HDF5 (512-byte MATLAB userblock + HDF5 body);
+        # scipy raises NotImplementedError (or ValueError on a bare-HDF5
+        # re-distribution without the userblock) — read them via h5py
+        labels = _hdf5_frame_labels(path)
+        if labels is not None:
+            return labels
         raise NotImplementedError(
-            f"{path} is a MATLAB v7.3 file; re-save it as v7 or provide "
-            "an .npy frame-label vector instead") from e
+            f"{path} is a MATLAB v7.3 (HDF5) file and no h5py is available; "
+            "re-save it as v7 or provide an .npy frame-label vector instead"
+        ) from e
     vol = mat.get("volLabel")
     if vol is not None:  # (1, T) cell of (H, W) masks
         cells = vol.reshape(-1)
@@ -136,6 +144,35 @@ def _mat_frame_labels(path: str) -> np.ndarray:
     for k, v in mat.items():
         if not k.startswith("__") and isinstance(v, np.ndarray):
             return (np.asarray(v).reshape(-1) != 0).astype(np.float32)
+    raise KeyError(f"no usable label array in {path}")
+
+
+def _hdf5_frame_labels(path: str) -> Optional[np.ndarray]:
+    """MATLAB v7.3 (HDF5) label volume: ``volLabel`` is stored as an array
+    of object references, each pointing at one (H, W) mask dataset; a frame
+    is anomalous iff any mask pixel is nonzero.  Returns None when h5py is
+    unavailable (caller raises the clear v7.3 error)."""
+    try:
+        import h5py
+    except ImportError:
+        return None
+    with h5py.File(path, "r") as f:
+        vol = f.get("volLabel")
+        if vol is not None:
+            refs = np.asarray(vol).reshape(-1)
+            out = []
+            for r in refs:
+                if isinstance(r, h5py.Reference):
+                    out.append(float(np.any(np.asarray(f[r]))))
+                else:  # plain numeric volLabel (already a per-frame value)
+                    out.append(float(np.any(r)))
+            return np.asarray(out, np.float32)
+        for k in f.keys():
+            if k.startswith("#"):  # MATLAB internal groups (#refs#, #subsystem#)
+                continue
+            node = f[k]
+            if isinstance(node, h5py.Dataset):
+                return (np.asarray(node).reshape(-1) != 0).astype(np.float32)
     raise KeyError(f"no usable label array in {path}")
 
 

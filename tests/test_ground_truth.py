@@ -107,6 +107,32 @@ def test_avenue_mat_volumes(tmp_path):
     assert np.array_equal(got["01"], [0, 0, 1, 1, 0, 0])
 
 
+def test_avenue_mat_v73_hdf5_fallback(tmp_path):
+    """MATLAB v7.3 label volumes (HDF5 object-reference cell layout) parse
+    through the h5py fallback — scipy.io.loadmat cannot read them."""
+    h5py = pytest.importorskip("h5py")
+    mat_dir = tmp_path / "testing_label_mask"
+    mat_dir.mkdir()
+    t = 5
+    with h5py.File(mat_dir / "1_label.mat", "w") as f:
+        refs = f.create_group("#refs#")
+        ref_dtype = h5py.special_dtype(ref=h5py.Reference)
+        # MATLAB stores the (1, T) cell transposed as a (T, 1) ref array
+        ds = f.create_dataset("volLabel", shape=(t, 1), dtype=ref_dtype)
+        for i in range(t):
+            m = np.zeros((8, 8), np.uint8)
+            if i in (1, 2):
+                m[2:4, 2:4] = 1
+            ds[i, 0] = refs.create_dataset(str(i), data=m).ref
+    # a bare per-frame vector distribution (no volLabel) also parses
+    with h5py.File(mat_dir / "2_label.mat", "w") as f:
+        f.create_dataset("frame_labels", data=np.array([1, 0, 0, 1]))
+    vols = load_avenue_gt(str(tmp_path))
+    assert len(vols) == 2
+    assert np.array_equal(vols[0], [0, 1, 1, 0, 0])
+    assert np.array_equal(vols[1], [1, 0, 0, 1])
+
+
 def test_clip_labels_edge_cases():
     from cvad_tpu.data.frames import ClipSpec
 
