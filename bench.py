@@ -405,6 +405,61 @@ def measure_family_c(batch: int = 256) -> tuple:
     return best, mfu
 
 
+def measure_family_a(batch: int = 64, frame_hw: tuple = (64, 64),
+                     t_len: int = 8, label: str = "synthetic") -> tuple:
+    """Family-A (12-stage causal pipeline, enhanced variant) train-step
+    throughput + MFU — the largest reference model (~7.9M params,
+    ``causal_anomaly_detection.py:540-586``).  Two configs reported:
+    the 64x64 synthetic-study config and the reference's real 240x360
+    grayscale frame size (train recipe ``:609-790``: frozen stem, AdamW,
+    4-term loss).  bf16 compute (`FamilyAConfig.dtype`) with
+    `stop_frozen_stem` true-DCE freezing — the production path."""
+    from cvad_tpu.config import preset
+    from cvad_tpu.runtime.mesh import create_mesh
+    from cvad_tpu.train.engine import Trainer
+
+    k = STEPS_PER_CALL
+    cfg = preset("family_a")
+    cfg = cfg.replace(
+        model=cfg.model.replace(dtype="bfloat16"),
+        data=cfg.data.replace(batch_size=batch, frame_size=frame_hw,
+                              clip_len=t_len),
+        train=cfg.train.replace(out_dir=f"/tmp/cvad_bench_a_{label}",
+                                log_every=10**9, dtype="bfloat16",
+                                steps_per_call=k))
+    trainer = Trainer(cfg, mesh=create_mesh())
+    rng = np.random.default_rng(0)
+    ch = cfg.data.channels
+    b = {"clips": rng.integers(0, 256, (batch, t_len) + frame_hw + (ch,),
+                               dtype=np.uint8),
+         "labels": rng.integers(0, 2, batch).astype(np.float32)}
+    trainer.init_state(b)
+    chunk = trainer.put_chunk([b] * k)
+    step = lambda: trainer._jit_train_multi(trainer.state, chunk, trainer._rng)
+    for _ in range(WARMUP):
+        trainer.state, m = step()
+    np.asarray(m)
+    best = 0.0
+    iters = max(4, ITERS // k)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = None
+        for _ in range(iters):
+            trainer.state, m = step()
+            total = m if total is None else total + m
+        np.asarray(total)
+        best = max(best, k * batch * iters / (time.perf_counter() - t0))
+    mfu = float("nan")
+    try:
+        mfu = _mfu(best, _step_flops(trainer, b), batch)
+    except Exception as e:
+        log(f"family-A MFU unavailable: {e}")
+    log(f"family-A train step ({label}: {frame_hw[0]}x{frame_hw[1]} T={t_len} "
+        f"ch={ch}, bf16, batch {batch}): {best:.0f} clips/s "
+        f"(MFU {mfu * 100:.1f}%)")
+    return best, mfu
+
+
 def measure_input_pipeline() -> float:
     """Host decode throughput (native C++ path) in frames/sec."""
     import tempfile
@@ -647,6 +702,10 @@ def main() -> None:
          context["long_window_t64_mfu"]) = measure_long_window()
         context["family_b_cps"], context["family_b_mfu"] = measure_family_b()
         context["family_c_cps"], context["family_c_mfu"] = measure_family_c()
+        context["family_a_cps"], context["family_a_mfu"] = measure_family_a()
+        (context["family_a_fullframe_cps"],
+         context["family_a_fullframe_mfu"]) = measure_family_a(
+            batch=64, frame_hw=(240, 360), t_len=8, label="fullframe")
         (context["flash_attention_t128_cps"],
          context["flash_attention_t128_mfu"],
          context["flash_attention_max_abs_err"]) = measure_flash_attention()
