@@ -131,8 +131,9 @@ def test_close_drains_pending():
 
 
 def test_bulk_score_matches_per_batch(rng):
-    """Throughput-mode scorer (stacked lax.map dispatch, uint8 ingest) ==
-    the per-batch scorer on the same weights."""
+    """Throughput-mode scorer (stacked dispatch, uint8 ingest) == the
+    per-batch scorer on the same weights, in BOTH lowerings (the default
+    one-flat-forward and the sequential lax.map kept for comparison)."""
     import jax
 
     from cvad_tpu.config import FamilyDConfig
@@ -145,16 +146,18 @@ def test_bulk_score_matches_per_batch(rng):
     clips_u8 = r.integers(0, 256, (11, 8, 16, 16, 3), dtype=np.uint8)
     v = m.init(jax.random.key(0), (clips_u8[:1] / 255.0).astype(np.float32))
     ref = make_family_d_score_fn(v, model=m)
-    bulk = make_family_d_bulk_score_fn(v, model=m, batch=4, chunks_per_call=2)
     s0, a0 = ref((clips_u8 / 255.0).astype(np.float32))
-    s1, a1 = bulk(clips_u8)
-    assert s1.shape == (11,) and a1.shape == (11, 16, 16)
-    np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(a1, a0, rtol=1e-5, atol=1e-6)
+    for mode in ("flat", "map"):
+        bulk = make_family_d_bulk_score_fn(v, model=m, batch=4,
+                                           chunks_per_call=2, mode=mode)
+        s1, a1 = bulk(clips_u8)
+        assert s1.shape == (11,) and a1.shape == (11, 16, 16), mode
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a1, a0, rtol=1e-5, atol=1e-6)
 
-    # empty request contract
-    s2, a2 = bulk(clips_u8[:0])
-    assert s2.shape == (0,) and a2.shape == (0, 16, 16)
+        # empty request contract
+        s2, a2 = bulk(clips_u8[:0])
+        assert s2.shape == (0,) and a2.shape == (0, 16, 16)
 
 
 def test_export_scorer_roundtrip(rng):
