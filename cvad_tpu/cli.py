@@ -382,7 +382,8 @@ def cmd_serve(args) -> int:
     srv = ScoringHTTPServer(svc, host=args.host, port=args.port,
                             max_wait_ms=args.max_wait_ms)
     if args.warmup:
-        svc.warmup()
+        svc.warmup(dtypes=tuple(d.strip() for d in
+                                args.warmup_dtypes.split(",") if d.strip()))
     print(json.dumps({"host": srv.host, "port": srv.port,
                       "buckets": list(svc.buckets)}), flush=True)
     try:
@@ -557,6 +558,11 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="max_wait_ms")
     sv.add_argument("--warmup", action="store_true",
                     help="compile every bucket before accepting traffic")
+    sv.add_argument("--warmup-dtypes", default="float32",
+                    dest="warmup_dtypes",
+                    help="comma list of client payload dtypes to pre-compile "
+                         "(e.g. float32,uint8 — uint8 = raw pixels, 4x "
+                         "smaller wire + host->device transfer)")
     sv.add_argument("--probe-timeout", type=float, default=120.0,
                     help="device reachability check before loading the "
                          "model (0 disables)")

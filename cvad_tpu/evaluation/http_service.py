@@ -16,7 +16,9 @@ the standard library:
 ``POST /score`` accepts either
 
 - ``application/octet-stream``: an ``.npz`` payload (``np.savez``) with a
-  ``clips`` array of shape (N, T, H, W, C) float32, or a raw ``.npy`` array;
+  ``clips`` array of shape (N, T, H, W, C), or a raw ``.npy`` array —
+  float32 values in [0, 1], or uint8 raw pixels (0-255; normalized on
+  device, 4x smaller payload and host->device transfer);
 - ``application/json``: ``{"clips": [[...]]}`` nested lists (small
   payloads / debugging).
 
@@ -95,8 +97,11 @@ def _parse_clips(body: bytes, content_type: str,
         clips = np.asarray(json.loads(body.decode())["clips"], np.float32)
     else:
         f = np.load(io.BytesIO(body), allow_pickle=False)
-        clips = (np.asarray(f["clips"], np.float32)
-                 if hasattr(f, "files") else np.asarray(f, np.float32))
+        raw = np.asarray(f["clips"] if hasattr(f, "files") else f)
+        # uint8 payloads are raw 0-255 pixels (4x smaller on the wire AND
+        # host->device; normalized on device) — preserve the dtype so the
+        # batching worker keeps them on the uint8 executable
+        clips = raw if raw.dtype == np.uint8 else np.asarray(raw, np.float32)
     # reject wrong shapes BEFORE they reach the shared batching worker: a
     # mismatched request co-batched with valid traffic would fail the whole
     # device batch with an opaque XLA error

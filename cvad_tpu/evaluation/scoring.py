@@ -113,8 +113,15 @@ def aggregate_frame_scores(starts: np.ndarray, scores: np.ndarray,
 
 
 def make_family_d_score_fn(variables, model=None) -> Callable:
-    """Jitted family-D scorer: batch -> (scores, adjacency)."""
+    """Jitted family-D scorer: batch -> (scores, adjacency).
+
+    Accepts float32 clips in [0, 1] or raw uint8 pixels (normalized to
+    [0, 1] on device — dtype is static at trace time, so each dtype gets
+    its own cached executable).  The uint8 path moves 4x fewer bytes
+    host->device, which dominates serving latency through a tunneled chip.
+    """
     import jax
+    import jax.numpy as jnp
 
     from cvad_tpu.models import CausalAnomalyDetector
 
@@ -122,6 +129,8 @@ def make_family_d_score_fn(variables, model=None) -> Callable:
 
     @jax.jit
     def fwd(v, clips):
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(jnp.float32) / 255.0
         scores, adj, _ = m.apply(v, clips, deterministic=True)
         return scores.reshape(-1), adj
 
@@ -222,6 +231,8 @@ def make_family_b_score_fn(variables, memory, loss_cfg=None, model=None
 
     @jax.jit
     def fwd(v, mem, clips):
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(jnp.float32) / 255.0
         out = m.apply(v, clips, mem, train=False)
         recon_err = jnp.mean((out["reconstructed"] - clips) ** 2,
                              axis=(1, 2, 3, 4))

@@ -92,10 +92,14 @@ class ClipScoringService:
             return ScoreResult(scores[:n], graphs)
         return ScoreResult(np.asarray(out).reshape(-1)[:n])
 
-    def warmup(self) -> None:
-        """Compile every bucket once (cold-start elimination)."""
-        for b in self.buckets:
-            self.score(np.zeros((b,) + self.clip_shape, np.float32))
+    def warmup(self, dtypes: Sequence[str] = ("float32",)) -> None:
+        """Compile every bucket once per serving dtype (cold-start
+        elimination).  Pass ``("float32", "uint8")`` when clients will send
+        raw-pixel uint8 payloads (4x smaller wire + host->device transfer,
+        normalized on device)."""
+        for dt in dtypes:
+            for b in self.buckets:
+                self.score(np.zeros((b,) + self.clip_shape, dt))
 
 
 @dataclass
@@ -130,7 +134,12 @@ class BatchingServer:
             return dict(self._stats)
 
     def submit(self, clips: np.ndarray, timeout: float = 30.0) -> ScoreResult:
-        req = _Pending(np.asarray(clips, np.float32))
+        # uint8 rides through untouched (raw 0-255 pixels, normalized on
+        # device); anything else is float clip data in [0, 1]
+        arr = np.asarray(clips)
+        if arr.dtype != np.uint8:
+            arr = np.asarray(arr, np.float32)
+        req = _Pending(arr)
         self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("scoring request timed out")
@@ -177,43 +186,54 @@ class BatchingServer:
                     break
                 batch.append(nxt)
                 total += len(nxt.clips)
-            t0 = _time.monotonic()
-            try:
-                # the concatenate must sit inside the guard: mixed-shape
-                # requests coalesced into one window raise ValueError here,
-                # and an escaped exception would kill the worker thread for
-                # good (every later submit would time out)
-                clips = np.concatenate([p.clips for p in batch])
-                res = self.service.score(clips)
-            except Exception as e:  # a failed batch must not strand submitters
-                n_clips = sum(len(p.clips) for p in batch)
+            # partition by dtype: concatenating a raw-pixel uint8 request
+            # with a normalized float32 one would silently promote the
+            # uint8 values into 0-255 floats — wrong by 255x.  Each dtype
+            # group is one device batch (mixed windows are rare; clients
+            # of one deployment normally speak one wire format).
+            groups: dict = {}
+            for p in batch:
+                groups.setdefault(p.clips.dtype.str, []).append(p)
+            for grp in groups.values():
+                t0 = _time.monotonic()
+                try:
+                    # the concatenate must sit inside the guard: mixed-shape
+                    # requests coalesced into one window raise ValueError
+                    # here, and an escaped exception would kill the worker
+                    # thread for good (every later submit would time out)
+                    clips = np.concatenate([p.clips for p in grp])
+                    res = self.service.score(clips)
+                except Exception as e:  # a failed batch must not strand submitters
+                    n_clips = sum(len(p.clips) for p in grp)
+                    with self._stats_lock:
+                        s = self._stats
+                        s["errors_total"] += 1
+                        s["requests_total"] += len(grp)
+                        s["clips_total"] += n_clips
+                        s["batches_total"] += 1
+                    for p in grp:
+                        p.result = ScoreResult(scores=np.zeros(0, np.float32),
+                                               error=str(e))
+                        p.event.set()
+                    continue
                 with self._stats_lock:
                     s = self._stats
-                    s["errors_total"] += 1
-                    s["requests_total"] += len(batch)
-                    s["clips_total"] += n_clips
+                    s["requests_total"] += len(grp)
+                    s["clips_total"] += len(clips)
                     s["batches_total"] += 1
-                for p in batch:
-                    p.result = ScoreResult(scores=np.zeros(0, np.float32),
-                                           error=str(e))
+                    s["last_batch_clips"] = len(clips)
+                    s["max_batch_clips"] = max(s["max_batch_clips"],
+                                               len(clips))
+                    s["score_seconds_total"] += _time.monotonic() - t0
+                offset = 0
+                for p in grp:
+                    k = len(p.clips)
+                    p.result = ScoreResult(
+                        res.scores[offset:offset + k],
+                        None if res.graphs is None
+                        else res.graphs[offset:offset + k])
+                    offset += k
                     p.event.set()
-                continue
-            with self._stats_lock:
-                s = self._stats
-                s["requests_total"] += len(batch)
-                s["clips_total"] += len(clips)
-                s["batches_total"] += 1
-                s["last_batch_clips"] = len(clips)
-                s["max_batch_clips"] = max(s["max_batch_clips"], len(clips))
-                s["score_seconds_total"] += _time.monotonic() - t0
-            offset = 0
-            for p in batch:
-                k = len(p.clips)
-                p.result = ScoreResult(
-                    res.scores[offset:offset + k],
-                    None if res.graphs is None else res.graphs[offset:offset + k])
-                offset += k
-                p.event.set()
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +379,11 @@ def load_scorer(blob: bytes) -> Callable:
                 continue
 
     def score(batch: np.ndarray):
+        batch = np.asarray(batch)
+        if batch.dtype == np.uint8:
+            # exported avals are float32; raw pixels normalize on host
+            # (the in-process scorers normalize on device instead)
+            batch = batch.astype(np.float32) / 255.0
         if device is not None:
             with jax.default_device(device):
                 out = exported.call(jnp.asarray(batch, jnp.float32))

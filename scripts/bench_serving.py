@@ -11,7 +11,11 @@ forward).  Workloads:
 - **single**: sequential 1-clip POSTs -> p50/p99 request latency;
 - **concurrency sweep** (2/4/8 clients x 1-clip requests): sustained req/s,
   p50/p99, and the coalescing ratio (clips per device batch) from /stats;
-- **bulk**: sequential 64-clip POSTs -> clips/s through the endpoint.
+- **bulk**: sequential 32/64/128-clip POSTs -> clips/s through the endpoint.
+
+Each workload runs per payload dtype (default float32 AND uint8): uint8 is
+the production wire format — raw pixels, 4x smaller over HTTP and
+host->device, normalized on device by the per-dtype cached executable.
 
 All requests ride real TCP loopback HTTP (http.client), .npz payloads —
 the same bytes an external client sends.  Timing is end-to-end at the
@@ -40,9 +44,14 @@ CKPT = "/root/reference/best_improved_model.pth"
 CLIP_SHAPE = (8, 64, 64, 3)
 
 
-def _npz_payload(n: int, rng: np.random.Generator) -> bytes:
+def _npz_payload(n: int, rng: np.random.Generator,
+                 dtype: str = "float32") -> bytes:
     buf = io.BytesIO()
-    np.savez(buf, clips=rng.uniform(0, 1, (n,) + CLIP_SHAPE).astype(np.float32))
+    if dtype == "uint8":  # raw pixels: 4x smaller wire + H2D transfer
+        clips = rng.integers(0, 256, (n,) + CLIP_SHAPE, dtype=np.uint8)
+    else:
+        clips = rng.uniform(0, 1, (n,) + CLIP_SHAPE).astype(np.float32)
+    np.savez(buf, clips=clips)
     return buf.getvalue()
 
 
@@ -122,13 +131,15 @@ def run_concurrency(host, port, payload, clients: int, seconds: float) -> dict:
     return out
 
 
-def run_bulk(host, port, rng, n_clips: int = 64, reps: int = 20) -> dict:
-    payload = _npz_payload(n_clips, rng)
+def run_bulk(host, port, rng, dtype: str, n_clips: int = 64,
+             reps: int = 20) -> dict:
+    payload = _npz_payload(n_clips, rng, dtype)
     t0 = time.perf_counter()
     for _ in range(reps):
         _post(host, port, payload)
     wall = time.perf_counter() - t0
     return {"clips_per_request": n_clips, "reps": reps,
+            "payload_mb": round(len(payload) / 2**20, 1),
             "clips_per_s": round(n_clips * reps / wall, 1),
             "ms_per_request": round(wall / reps * 1e3, 2)}
 
@@ -138,6 +149,9 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="duration of each concurrency-sweep window")
     ap.add_argument("--ckpt", default=CKPT)
+    ap.add_argument("--dtypes", default="float32,uint8",
+                    help="comma list of client payload dtypes to measure "
+                         "(uint8 = raw pixels, 4x smaller wire + H2D)")
     ap.add_argument("--out", default=str(REPO / "runs" / "serving_bench.json"))
     args = ap.parse_args()
 
@@ -147,8 +161,9 @@ def main() -> None:
     import jax
 
     service = service_from_path(args.ckpt, family="d")
+    dtypes = [d.strip() for d in args.dtypes.split(",") if d.strip()]
     t0 = time.perf_counter()
-    service.warmup()  # compile every bucket before measurement
+    service.warmup(dtypes=dtypes)  # compile every bucket x dtype up front
     warm_s = time.perf_counter() - t0
     server = ScoringHTTPServer(service, port=0)
     host, port = server.start()
@@ -156,7 +171,6 @@ def main() -> None:
           f"device {jax.devices()[0]})", flush=True)
 
     rng = np.random.default_rng(0)
-    one = _npz_payload(1, rng)
     try:
         result = {"device": str(jax.devices()[0]),
                   "warmup_s": round(warm_s, 1),
@@ -168,16 +182,23 @@ def main() -> None:
             result["contended"] = result["load_avg_start"] > 1.5
         except OSError:
             pass
-        _post(host, port, one)  # prime connections/path
-        result["single"] = run_single(host, port, one)
-        print(f"single-request: {result['single']}", flush=True)
-        result["concurrency"] = []
-        for c in (2, 4, 8):
-            row = run_concurrency(host, port, one, c, args.seconds)
-            result["concurrency"].append(row)
-            print(f"concurrency {c}: {row}", flush=True)
-        result["bulk"] = run_bulk(host, port, rng)
-        print(f"bulk 64-clip: {result['bulk']}", flush=True)
+        for dtype in dtypes:
+            one = _npz_payload(1, rng, dtype)
+            sec: dict = {}
+            _post(host, port, one)  # prime connections/path
+            sec["single"] = run_single(host, port, one)
+            print(f"[{dtype}] single-request: {sec['single']}", flush=True)
+            sec["concurrency"] = []
+            for c in (2, 4, 8):
+                row = run_concurrency(host, port, one, c, args.seconds)
+                sec["concurrency"].append(row)
+                print(f"[{dtype}] concurrency {c}: {row}", flush=True)
+            sec["bulk"] = []
+            for n in (32, 64, 128):
+                row = run_bulk(host, port, rng, dtype, n_clips=n)
+                sec["bulk"].append(row)
+                print(f"[{dtype}] bulk {n}-clip: {row}", flush=True)
+            result[dtype] = sec
         result["stats_final"] = _get(host, port, "/stats")
     finally:
         server.close()

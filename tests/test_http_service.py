@@ -114,6 +114,28 @@ def test_concurrent_requests_coalesce(served):
         np.testing.assert_allclose(s, np.asarray(fn(x)[0]), atol=1e-5)
 
 
+def test_uint8_payload_roundtrip(served):
+    """uint8 npz payloads (raw 0-255 pixels, 4x smaller wire + H2D) score
+    identically to the equivalent normalized float32 payload — the dtype
+    survives parse -> batching -> the per-dtype device executable."""
+    srv, fn = served
+    base = f"http://{srv.host}:{srv.port}"
+    u8 = np.random.default_rng(5).integers(0, 256, (3, 8, 64, 64, 3),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, clips=u8)
+    body = buf.getvalue()
+    # the uint8 wire format is actually smaller on the wire
+    f32 = u8.astype(np.float32) / 255.0
+    buf32 = io.BytesIO()
+    np.savez(buf32, clips=f32)
+    assert len(body) < len(buf32.getvalue()) / 3
+
+    out = _post(base + "/score", body, "application/octet-stream")
+    want = np.asarray(fn(f32)[0])
+    np.testing.assert_allclose(out["scores"], want, atol=1e-5)
+
+
 def test_service_from_path_blob_sniffing(tmp_path, rng):
     """service_from_path dispatches .pth (zip) vs jax.export blobs by
     content; the blob-backed service scores identically to the live one."""

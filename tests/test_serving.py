@@ -59,6 +59,72 @@ def test_batching_server_coalesces():
                                    rtol=1e-6)
 
 
+def test_mixed_dtype_window_partitions():
+    """A coalesce window holding a raw-pixel uint8 request and a normalized
+    float32 one must NOT concatenate them (uint8 would silently promote to
+    0-255 floats — wrong by 255x).  The worker partitions by dtype: one
+    device batch per dtype group, each with its own semantics."""
+
+    def fn(batch):
+        # normalize exactly like the device-side uint8 executable so both
+        # groups' expected scores are computable from the same formula
+        x = (batch.astype(np.float32) / 255.0
+             if batch.dtype == np.uint8 else batch)
+        return x.mean(axis=(1, 2, 3, 4)), None
+
+    svc = ClipScoringService(fn, buckets=(8,))
+    # long window so both submits definitely coalesce before the worker runs
+    server = BatchingServer(svc, max_wait_ms=200.0)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, 2, 4, 4, 1), dtype=np.uint8)
+    f32 = rng.uniform(0, 1, (2, 2, 4, 4, 1)).astype(np.float32)
+    results = {}
+
+    def call(key, clips):
+        results[key] = server.submit(clips)
+
+    threads = [threading.Thread(target=call, args=("u8", u8)),
+               threading.Thread(target=call, args=("f32", f32))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stats = server.stats()
+    server.close()
+    np.testing.assert_allclose(results["u8"].scores,
+                               (u8.astype(np.float32) / 255.0)
+                               .mean(axis=(1, 2, 3, 4)), rtol=1e-6)
+    np.testing.assert_allclose(results["f32"].scores,
+                               f32.mean(axis=(1, 2, 3, 4)), rtol=1e-6)
+    assert results["u8"].error is None and results["f32"].error is None
+    # both requests arrived, split into (at most) one batch per dtype
+    assert stats["requests_total"] == 2
+    assert stats["batches_total"] <= 2
+
+
+def test_uint8_submit_preserves_dtype():
+    """submit() must not cast uint8 payloads to float32 (that would both
+    break the raw-pixel semantics and forfeit the 4x transfer win)."""
+    seen_dtypes = []
+
+    def fn(batch):
+        seen_dtypes.append(batch.dtype)
+        x = (batch.astype(np.float32) / 255.0
+             if batch.dtype == np.uint8 else batch)
+        return x.mean(axis=(1, 2, 3, 4)), None
+
+    svc = ClipScoringService(fn, buckets=(4,))
+    server = BatchingServer(svc, max_wait_ms=1.0)
+    u8 = np.random.default_rng(3).integers(0, 256, (3, 2, 4, 4, 1),
+                                           dtype=np.uint8)
+    res = server.submit(u8)
+    server.close()
+    assert seen_dtypes == [np.dtype(np.uint8)]
+    np.testing.assert_allclose(
+        res.scores,
+        (u8.astype(np.float32) / 255.0).mean(axis=(1, 2, 3, 4)), rtol=1e-6)
+
+
 def test_service_from_checkpoint():
     import os
 
@@ -188,6 +254,14 @@ def test_export_scorer_roundtrip(rng):
     svc = ClipScoringService.from_exported(blob, buckets=(4, 8))
     res = svc.score(x5)
     np.testing.assert_allclose(res.scores, s, atol=1e-5)
+
+    # uint8 raw pixels through the AOT blob == normalized float32 scores
+    # (the exported aval is f32, so load_scorer normalizes host-side)
+    u8 = np.random.default_rng(1).integers(0, 256, (3, 8, 64, 64, 3),
+                                           dtype=np.uint8)
+    su8, _ = score(u8)
+    sf, _ = score(u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(su8, sf, atol=1e-6)
 
 
 def test_export_family_b_and_c_roundtrip(rng):
