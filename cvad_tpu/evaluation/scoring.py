@@ -132,13 +132,18 @@ def make_family_d_score_fn(variables, model=None) -> Callable:
         if clips.dtype == jnp.uint8:
             clips = clips.astype(jnp.float32) / 255.0
         scores, adj, _ = m.apply(v, clips, deterministic=True)
-        return scores.reshape(-1), adj
+        # pack (scores, adjacency) into ONE flat array: each host fetch is
+        # a separate ~30 ms round trip through a tunneled chip, and
+        # single-request serving latency is round-trip-bound
+        return jnp.concatenate([scores.reshape(-1), adj.reshape(-1)])
 
     def score(batch: np.ndarray):
         import jax.numpy as jnp
 
-        s, adj = fwd(variables, jnp.asarray(batch))
-        return np.asarray(s), np.asarray(adj)
+        flat = np.asarray(fwd(variables, jnp.asarray(batch)))  # one D2H
+        n = len(batch)
+        d = int(round(((flat.size - n) / n) ** 0.5))
+        return flat[:n], flat[n:].reshape(n, d, d)
 
     return score
 
