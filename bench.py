@@ -184,13 +184,19 @@ def measure_inference() -> float:
                    / (time.perf_counter() - t0))
     mfu = float("nan")
     try:
-        flops_per_call = float(score.fwd_many.lower(
+        # the scorer's default lowering is lax.map, whose cost analysis
+        # counts the body ONCE regardless of trip count (this understated
+        # round-3's inference MFU 8x, recorded as 1.3%) — the executed
+        # FLOPs are body x k, verified exactly equal to the flat-lowering
+        # count (220.16 vs 220.17 GF/call, PARITY.md inference entry)
+        flops_per_call = score.flops_trip_factor * float(score.fwd_many.lower(
             variables, stacked).compile().cost_analysis()["flops"])
         mfu = _mfu(best / CLIP_SHAPE[0], flops_per_call, k * BATCH)
     except Exception as e:
         log(f"inference MFU unavailable: {e}")
-    log(f"inference (bulk scorer, bf16, device-staged uint8): {best:.0f} "
-        f"frames/s ({best / CLIP_SHAPE[0]:.0f} clips/s, MFU {mfu * 100:.1f}%)")
+    log(f"inference (bulk scorer lax.map, bf16, device-staged uint8): "
+        f"{best:.0f} frames/s ({best / CLIP_SHAPE[0]:.0f} clips/s, "
+        f"MFU {mfu * 100:.1f}%)")
     return best, mfu
 
 
