@@ -11,7 +11,8 @@ the standard library:
 - ``GET  /healthz`` -> ``{"ok": true, "buckets": [...], "clip_shape": [...]}``
 - ``GET  /stats``   -> batching counters (requests/clips/batches/errors,
   score seconds) — ``clips_total / batches_total`` shows coalescing
-- ``POST /score``   -> scores (and graphs, when the model emits them)
+- ``POST /score``   -> scores (and graphs, when the model emits them;
+  ``?graphs=0`` omits them for score-only clients)
 
 ``POST /score`` accepts either
 
@@ -163,8 +164,16 @@ class ScoringHTTPServer:
                 self._reply(404, {"error": "unknown path"})
 
             def do_POST(self):
-                if self.path != "/score":
+                from urllib.parse import parse_qs, urlsplit
+
+                url = urlsplit(self.path)
+                if url.path != "/score":
                     return self._reply(404, {"error": "unknown path"})
+                # ?graphs=0 skips the adjacency matrices in the reply —
+                # score-only clients save the (N, d, d) JSON serialization
+                # (32k floats for a 128-clip request) and its transfer
+                want_graphs = parse_qs(url.query).get(
+                    "graphs", ["1"])[0] not in ("0", "false")
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                 except ValueError:
@@ -188,7 +197,7 @@ class ScoringHTTPServer:
                     return self._reply(500, {"error": res.error})
                 self._reply(200, {
                     "scores": _finite_or_null(res.scores),
-                    "graphs": (None if res.graphs is None
+                    "graphs": (None if res.graphs is None or not want_graphs
                                else _finite_or_null(res.graphs)),
                     "n": int(len(res.scores)),
                 })

@@ -136,6 +136,22 @@ def test_uint8_payload_roundtrip(served):
     np.testing.assert_allclose(out["scores"], want, atol=1e-5)
 
 
+def test_graphs_omitted_on_request(served):
+    """?graphs=0 drops the adjacency matrices from the reply (score-only
+    clients skip the (N, d, d) JSON serialization + transfer) while the
+    scores stay identical."""
+    srv, fn = served
+    base = f"http://{srv.host}:{srv.port}"
+    x = np.random.default_rng(9).uniform(0, 1, (2, 8, 64, 64, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, clips=x)
+    body = buf.getvalue()
+    full = _post(base + "/score", body, "application/octet-stream")
+    slim = _post(base + "/score?graphs=0", body, "application/octet-stream")
+    assert full["graphs"] is not None and slim["graphs"] is None
+    np.testing.assert_allclose(slim["scores"], full["scores"], atol=0)
+
+
 def test_service_from_path_blob_sniffing(tmp_path, rng):
     """service_from_path dispatches .pth (zip) vs jax.export blobs by
     content; the blob-backed service scores identically to the live one."""
