@@ -172,7 +172,11 @@ def measure_inference() -> float:
     s, _ = score.fwd_many(variables, stacked)
     np.asarray(s)  # compile + hard sync
     best = 0.0
-    iters = max(4, ITERS // k)
+    # each dispatch is only ~5.4 ms of device time here (vs ~11 ms/step for
+    # the train sections), so the fixed end-of-rep sync (~30 ms through the
+    # tunnel) needs more dispatches to amortize: 4 iters understated
+    # steady-state ~2x (1.54M vs the 24-iter A/B's 3.02M frames/s)
+    iters = max(24, ITERS // k)
     for _ in range(3):
         t0 = time.perf_counter()
         total = None
