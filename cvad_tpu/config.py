@@ -329,6 +329,14 @@ class TrainConfig(_Base):
     # steps; Trainer.restore resumes the interrupted epoch at the exact batch
     # (deterministic shuffle replay), bit-identical to the uninterrupted run
     save_every_steps: int = 0
+    # device-resident epoch clip cache (cvad_tpu.data.device_cache): 'auto'
+    # keeps the train split's uint8 clips in HBM when they fit
+    # `device_cache_hbm_frac` of device memory — one bulk H2D fill, then
+    # every epoch feeds from device-side gathers (host ships indices only).
+    # Bit-identical to the uncached path (tests/test_device_cache.py).
+    # 'on' forces it (errors if ineligible), 'off' disables.
+    device_cache: str = "auto"
+    device_cache_hbm_frac: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,15 @@ class BatchLoader:
         exactly (torch ``DistributedSampler.set_epoch`` analog)."""
         self._epoch = epoch - 1
 
+    def epoch_index_batches(self, epoch: int):
+        """Batch index lists for `epoch`, advancing the shuffle epoch exactly
+        as iterating would — the device-resident clip cache path
+        (`cvad_tpu.data.device_cache`) feeds clips from HBM and only needs
+        the host-side batch composition."""
+        self.set_epoch(epoch)
+        self._epoch += 1
+        return list(self._batch_indices())
+
     def iter_from(self, skip: int) -> Iterator[Dict[str, np.ndarray]]:
         """This epoch's iterator starting at batch index ``skip`` — identical
         shuffle, skipped batches never decoded (mid-epoch resume)."""

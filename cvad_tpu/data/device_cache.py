@@ -1,0 +1,172 @@
+"""Device-resident epoch clip cache: keep the train split's uint8 clips in
+HBM and feed every epoch from device-side gathers.
+
+The reference re-decoded and re-shipped every clip every epoch
+(``causal_anomaly_detection.py:1212-1214`` — DataLoader workers feeding
+per-batch ``.to(device)`` copies); a TPU-first framework can do better: a
+UCSD-Ped2-scale train split (thousands of clips x ~98 KB uint8) fits v5e HBM
+with room to spare, so after a single bulk host->device fill the host only
+ships shuffle indices and labels (bytes per epoch), and each batch is a
+device-side ``jnp.take`` landing directly in the train step's canonical
+sharding.  Through this dev environment's ~20-45 MB/s relay the uncached
+epoch was transfer-bound 580x below the device step; the cache removes that
+term structurally rather than amortizing it.
+
+Batch composition (shuffle order, padding, valid masks, chunk grouping) is
+bit-identical to the uncached ``BatchLoader`` path — proven by
+tests/test_device_cache.py (cached fit == uncached fit, exact).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+_DEFAULT_BYTES_LIMIT = 4 << 30  # when the backend reports no memory stats
+
+
+def device_bytes_limit(device=None) -> int:
+    """Best-effort HBM capacity for the cache budget check.  TPU backends
+    report ``bytes_limit`` via ``memory_stats``; the CPU-simulated meshes in
+    tests do not — fall back to a conservative constant."""
+    import jax
+
+    dev = device if device is not None else jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit
+    except Exception:  # noqa: BLE001 — experimental backends may raise
+        pass
+    return _DEFAULT_BYTES_LIMIT
+
+
+def cache_eligible(loader, hbm_frac: float, device=None) -> bool:
+    """True iff `loader`'s dataset can feed from a device-resident cache:
+    uint8 transfer path, fixed clip shape, native batch layout, and the whole
+    split fits `hbm_frac` of the device's memory."""
+    ds = getattr(loader, "dataset", None)
+    if ds is None or len(ds) == 0:
+        return False
+    if getattr(loader, "transfer_dtype", None) != "uint8":
+        return False
+    if getattr(loader, "torch_layout", False):
+        return False
+    if not hasattr(ds, "get_uint8"):
+        return False
+    if not hasattr(loader, "epoch_index_batches"):
+        return False
+    try:
+        clip0 = ds.get_uint8(0)[0]
+    except Exception:  # noqa: BLE001 — undecodable dataset: stay uncached
+        return False
+    total = len(ds) * int(np.prod(clip0.shape))
+    return total <= hbm_frac * device_bytes_limit(device)
+
+
+class DeviceClipCache:
+    """The train split as one (N, T, H, W, C) uint8 device array + labels.
+
+    `device_batches` yields batches gathered on device in the engine's
+    canonical shardings, mirroring the uncached path's composition exactly:
+    `BatchLoader.epoch_index_batches` ordering, edge-mode padding of the
+    remainder to the data-axis multiple with a 0-masked "valid" tail, and
+    full-size batches grouped into (K, B, ...) chunks for the scanned
+    multi-step dispatch.
+    """
+
+    def __init__(self, loader, mesh, time_dim: Optional[int] = None,
+                 num_threads: int = 4):
+        import jax
+        import jax.numpy as jnp
+
+        from cvad_tpu.runtime.mesh import batch_sharding, replicated
+
+        self.loader = loader
+        self.mesh = mesh
+        ds = loader.dataset
+        n = len(ds)
+        if hasattr(ds, "warm_frames"):
+            ds.warm_frames(list(range(n)))
+        # labels come from get_uint8 (not a `labels` attribute) so shard
+        # views that translate indices (HostShardDataset) stay correct
+        if num_threads > 1 and n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                items = list(pool.map(lambda i: ds.get_uint8(i), range(n)))
+        else:
+            items = [ds.get_uint8(i) for i in range(n)]
+        host = np.stack([c for c, _ in items])
+        rep = replicated(mesh)
+        self.clips = jax.device_put(host, rep)  # the one bulk H2D transfer
+        self.labels = jax.device_put(
+            np.asarray([l for _, l in items], np.float32), rep)
+        self.nbytes = host.nbytes
+
+        data_sh = batch_sharding(mesh)
+        clips_sh = batch_sharding(mesh, time_dim)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if time_dim is not None:
+            spec = [None, "data"] + [None] * time_dim
+            spec[time_dim + 1] = "time"
+            stacked_clips_sh = NamedSharding(mesh, P(*spec))
+        else:
+            stacked_clips_sh = NamedSharding(mesh, P(None, "data"))
+        stacked_sh = NamedSharding(mesh, P(None, "data"))
+
+        def gather(clips_cache, labels_cache, idx, valid):
+            return {"clips": jnp.take(clips_cache, idx, axis=0),
+                    "labels": jnp.take(labels_cache, idx, axis=0),
+                    "valid": valid}
+
+        self._gather = jax.jit(
+            gather,
+            in_shardings=(rep, rep, rep, rep),
+            out_shardings={"clips": clips_sh, "labels": data_sh,
+                           "valid": data_sh})
+        self._gather_stacked = jax.jit(
+            gather,
+            in_shardings=(rep, rep, rep, rep),
+            out_shardings={"clips": stacked_clips_sh, "labels": stacked_sh,
+                           "valid": stacked_sh})
+
+    def _padded(self, idx: np.ndarray, nd: int):
+        """Edge-pad indices to a multiple of the data-axis size with the
+        matching valid mask (`runtime.mesh.pad_with_valid` semantics)."""
+        n = len(idx)
+        pad = (-n) % nd
+        if pad:
+            idx = np.pad(idx, (0, pad), mode="edge")
+        valid = (np.arange(n + pad) < n).astype(np.float32)
+        return idx.astype(np.int32), valid
+
+    def device_batches(self, epoch: int, k: int, nd: int,
+                       skip: int = 0) -> Iterator[Dict]:
+        """Device-ready batches for `epoch`: (K, B, ...) chunks for the
+        scanned multi-step call when `k` > 1 (same grouping rule as
+        `engine._chunk_batches`: equal post-padding shapes), single batches
+        otherwise; `skip` resumes mid-epoch at the exact batch."""
+        batches = self.loader.epoch_index_batches(epoch)[skip:]
+        prepared = [self._padded(np.asarray(b), nd) for b in batches]
+        i = 0
+        while i < len(prepared):
+            if k > 1:
+                group = [prepared[i]]
+                while (len(group) < k and i + len(group) < len(prepared)
+                       and prepared[i + len(group)][0].shape
+                       == group[0][0].shape):
+                    group.append(prepared[i + len(group)])
+                if len(group) == k:
+                    idx = np.stack([g[0] for g in group])
+                    valid = np.stack([g[1] for g in group])
+                    yield self._gather_stacked(self.clips, self.labels, idx,
+                                               valid)
+                    i += k
+                    continue
+            idx, valid = prepared[i]
+            yield self._gather(self.clips, self.labels, idx, valid)
+            i += 1

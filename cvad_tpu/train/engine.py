@@ -55,6 +55,7 @@ class Trainer:
         self._best = None
         self._since_best = 0  # early-stop counter; checkpointed with _best
         self._mid_resume = None  # set by restore() from a 'mid' checkpoint
+        self._device_caches: Dict[int, Any] = {}  # id(loader) -> cache|None
 
     # -- setup ---------------------------------------------------------------
 
@@ -218,6 +219,43 @@ class Trainer:
                                            for x in np.asarray(total_vec)]}}
         self.ckpt.save("mid", self.state, history=payload)
 
+    def _clip_cache(self, loader):
+        """The loader's `DeviceClipCache` when the device-cache knob and
+        eligibility allow one (built once per loader, reused every epoch).
+        Replaces the per-epoch host->device clip stream with HBM-resident
+        gathers — the structural fix for the reference's per-epoch
+        DataLoader re-transfer (``causal_anomaly_detection.py:1212-1214``)."""
+        mode = self.cfg.train.device_cache
+        if mode == "off" or not hasattr(loader, "epoch_index_batches"):
+            if mode == "on" and not hasattr(loader, "epoch_index_batches"):
+                raise ValueError(
+                    "train.device_cache='on' needs a BatchLoader-style "
+                    "loader exposing epoch_index_batches")
+            return None
+        key = id(loader)
+        if key in self._device_caches:
+            return self._device_caches[key]
+        from cvad_tpu.data.device_cache import DeviceClipCache, cache_eligible
+
+        dev = self.mesh.devices.flat[0]
+        if not cache_eligible(loader, self.cfg.train.device_cache_hbm_frac,
+                              dev):
+            if mode == "on":
+                raise ValueError(
+                    "train.device_cache='on' but the loader is ineligible "
+                    "(needs transfer_dtype='uint8', a get_uint8/labels "
+                    "dataset, and the split to fit "
+                    f"{self.cfg.train.device_cache_hbm_frac:.0%} of device "
+                    "memory)")
+            self._device_caches[key] = None
+            return None
+        cache = DeviceClipCache(loader, self.mesh,
+                                time_dim=getattr(self, "_time_dim", None))
+        self._device_caches[key] = cache
+        self.logger.log("device_cache", clips=len(loader.dataset),
+                        mbytes=round(cache.nbytes / 1e6, 1))
+        return cache
+
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
@@ -228,12 +266,17 @@ class Trainer:
         timer = StepTimer()
         nd = self.mesh.shape["data"]  # batch shards over 'data' only
         total_vec = None  # device accumulator — no per-step host sync
+        # device-resident clip cache: the whole split lives in HBM and every
+        # batch is a device-side gather — the host ships only shuffle
+        # indices/labels/valid masks (cvad_tpu.data.device_cache)
+        cache = self._clip_cache(loader)
         # shuffle order follows the global training epoch so interrupted runs
-        # replay the same batch sequence on resume
-        if hasattr(loader, "set_epoch"):
+        # replay the same batch sequence on resume (the cache path pins the
+        # epoch inside epoch_index_batches)
+        if cache is None and hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
         source: Iterable = loader
-        if skip_batches:  # mid-epoch resume: continue at the exact batch
+        if skip_batches and cache is None:  # mid-epoch resume: exact batch
             if hasattr(loader, "iter_from"):
                 source = loader.iter_from(skip_batches)
             else:
@@ -250,21 +293,25 @@ class Trainer:
         next_save = (count // save_every + 1) * save_every if save_every else 0
         k = max(1, self.cfg.train.steps_per_call)
         if k > 1:
-            # full chunks arrive stacked (K, B, ...) for the scanned
-            # multi-step call; the remainder arrives as single batches
-            from cvad_tpu.runtime.mesh import shard_batch as _shard
+            if cache is not None:
+                feed: Iterable = cache.device_batches(epoch, k, nd,
+                                                      skip=skip_batches)
+            else:
+                # full chunks arrive stacked (K, B, ...) for the scanned
+                # multi-step call; the remainder arrives as single batches
+                from cvad_tpu.runtime.mesh import shard_batch as _shard
 
-            def put_fn(item):
-                # batches arrive already padded (with the correct 'valid'
-                # mask) from _chunk_batches — re-padding here would rebuild
-                # 'valid' as all-ones and let the duplicate rows into the
-                # gradient
-                if item["clips"].ndim == 6:
-                    return self._put_stacked(item)
-                return _shard(self.mesh, item, time_dim=self._time_dim)
+                def put_fn(item):
+                    # batches arrive already padded (with the correct
+                    # 'valid' mask) from _chunk_batches — re-padding here
+                    # would rebuild 'valid' as all-ones and let the
+                    # duplicate rows into the gradient
+                    if item["clips"].ndim == 6:
+                        return self._put_stacked(item)
+                    return _shard(self.mesh, item, time_dim=self._time_dim)
 
-            feed = DevicePrefetcher(_chunk_batches(source, k, nd),
-                                    put_fn=put_fn)
+                feed = DevicePrefetcher(_chunk_batches(source, k, nd),
+                                        put_fn=put_fn)
             log_every = self.cfg.train.log_every
             for item in feed:
                 if item["clips"].ndim == 6:  # stacked chunk
@@ -291,8 +338,10 @@ class Trainer:
                         "train_batch", epoch=epoch, batch=count, **host,
                         steps_per_s=count / max(t["elapsed_s"], 1e-9))
         else:
-            feed = DevicePrefetcher(source, self.mesh, pad_to_multiple=nd,
-                                    time_dim=self._time_dim)
+            feed = (cache.device_batches(epoch, 1, nd, skip=skip_batches)
+                    if cache is not None else
+                    DevicePrefetcher(source, self.mesh, pad_to_multiple=nd,
+                                     time_dim=self._time_dim))
             for batch in feed:
                 self.state, vec = self._jit_train(self.state, batch, self._rng)
                 total_vec = vec if total_vec is None else total_vec + vec
