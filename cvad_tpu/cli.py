@@ -294,15 +294,65 @@ def cmd_smoke(args) -> int:
 
 
 def cmd_plots(args) -> int:
+    if args.block_correlation:
+        return _cmd_block_correlation(args)
     from cvad_tpu.evaluation.plots import visualize_training_results
     from cvad_tpu.utils.json_utils import safe_json_load
 
+    if not args.history:
+        print("cvad plots needs a history JSON (or --block-correlation)",
+              file=sys.stderr)
+        return 1
     history = safe_json_load(args.history)
     if history is None:
         print(f"cannot read history: {args.history}", file=sys.stderr)
         return 1
     path = visualize_training_results(history, args.out)
     print(path or "matplotlib unavailable")
+    return 0 if path else 1
+
+
+def _cmd_block_correlation(args) -> int:
+    """Per-block feature-correlation heatmaps for family C — the analysis
+    behind the reference's shipped ``Figure 2025-09-04 180626.png``, whose
+    producing script is absent from the repo (SURVEY.md §2.4)."""
+    import jax
+
+    from cvad_tpu.data.batcher import BatchLoader
+    from cvad_tpu.data.datasets import build_dataset
+    from cvad_tpu.evaluation.block_correlation import (
+        block_channel_correlations, plot_block_correlations)
+    from cvad_tpu.train.engine import Trainer
+
+    cfg = preset(args.preset)
+    if args.data_root:
+        cfg = cfg.replace(data=cfg.data.replace(root=args.data_root))
+    if args.run:
+        cfg = cfg.replace(train=cfg.train.replace(out_dir=args.run))
+    cfg = _apply_overrides(cfg, args.set)
+    trainer = Trainer(cfg)
+    loader = BatchLoader(build_dataset(cfg.data, "Test", 32),
+                         cfg.data.batch_size, shuffle=False)
+    sample = loader.sample_batch()
+    restored = None
+    if args.run:
+        restored = trainer.restore(sample, step=args.step)
+        if restored is None:
+            print(json.dumps({"error": "no checkpoint found",
+                              "out_dir": cfg.train.out_dir}))
+            return 1
+    else:
+        trainer.init_state(sample)  # fresh init: structure-only figure
+    mats = block_channel_correlations(
+        jax.device_get(trainer.state.variables()), sample["clips"],
+        model=trainer.task.model)
+    path = plot_block_correlations(mats, args.out)
+    print(json.dumps({
+        "out": path, "restored": restored,
+        "blocks": [m.shape[0] for m in mats],
+        "mean_abs_offdiag": [round(float(
+            (np.abs(m).sum() - m.shape[0]) / (m.size - m.shape[0])), 4)
+            for m in mats]}))
     return 0 if path else 1
 
 
@@ -381,7 +431,10 @@ def cmd_serve(args) -> int:
         buckets=tuple(int(b) for b in args.buckets.split(",")))
     srv = ScoringHTTPServer(svc, host=args.host, port=args.port,
                             max_wait_ms=args.max_wait_ms)
-    if args.warmup:
+    # an explicit --warmup-dtypes implies --warmup: passing it without the
+    # flag used to be silently ignored (the first request still hit the
+    # cold compile), which is never what the caller meant
+    if args.warmup or args.warmup_dtypes != "float32":
         svc.warmup(dtypes=tuple(d.strip() for d in
                                 args.warmup_dtypes.split(",") if d.strip()))
     print(json.dumps({"host": srv.host, "port": srv.port,
@@ -527,8 +580,21 @@ def build_parser() -> argparse.ArgumentParser:
     sm.set_defaults(fn=cmd_smoke)
 
     pl = sub.add_parser("plots")
-    pl.add_argument("history")
+    pl.add_argument("history", nargs="?", default=None)
     pl.add_argument("--out", default="training_results.png")
+    pl.add_argument("--block-correlation", action="store_true",
+                    dest="block_correlation",
+                    help="per-conv-block channel-correlation heatmaps "
+                         "(the reference's Figure 2025-09-04 analysis)")
+    pl.add_argument("--run", default=None,
+                    help="training run dir whose checkpoint to analyze "
+                         "(omit for a fresh-init structure figure)")
+    pl.add_argument("--step", default="latest",
+                    help="checkpoint to restore: latest|best|mid|epoch N")
+    pl.add_argument("--preset", default="family_c")
+    pl.add_argument("--data-root", default=None, dest="data_root")
+    pl.add_argument("--set", action="append", default=[],
+                    help="config override key=value (repeatable)")
     pl.set_defaults(fn=cmd_plots)
 
     c = sub.add_parser("convert")

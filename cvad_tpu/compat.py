@@ -50,7 +50,13 @@ def _to_framework_batch(item) -> Dict[str, np.ndarray]:
     clips = np.asarray(clips, np.float32)
     if clips.ndim == 5 and clips.shape[1] in (1, 3) and clips.shape[-1] not in (1, 3):
         clips = np.transpose(clips, (0, 2, 3, 4, 1))  # torch -> channels-last
-    return {"clips": clips, "labels": np.asarray(labels, np.float32).reshape(-1)}
+    out = {"clips": clips, "labels": np.asarray(labels, np.float32).reshape(-1)}
+    if isinstance(item, dict) and "pseudo_targets" in item:
+        # injected pseudo-label stream (dynamics-parity studies): the
+        # family-D task consumes it instead of its own RNG draw
+        out["pseudo_targets"] = np.asarray(item["pseudo_targets"],
+                                           np.float32).reshape(-1)
+    return out
 
 
 class _ParamGroup(dict):

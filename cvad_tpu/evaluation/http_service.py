@@ -103,6 +103,14 @@ def _parse_clips(body: bytes, content_type: str,
         # host->device; normalized on device) — preserve the dtype so the
         # batching worker keeps them on the uint8 executable
         clips = raw if raw.dtype == np.uint8 else np.asarray(raw, np.float32)
+    # float clips must already be normalized: a client shipping raw 0-255
+    # pixels as floats/ints (easy to do via JSON) would silently score
+    # 255x-out-of-domain inputs — reject with the fix spelled out
+    if clips.dtype != np.uint8 and clips.size and float(clips.max()) > 1.5:
+        raise ValueError(
+            f"float clips must be normalized to [0, 1] (got max "
+            f"{float(clips.max()):.1f}); send raw 0-255 pixels as a uint8 "
+            f"npz payload instead")
     # reject wrong shapes BEFORE they reach the shared batching worker: a
     # mismatched request co-batched with valid traffic would fail the whole
     # device batch with an opaque XLA error
@@ -171,9 +179,12 @@ class ScoringHTTPServer:
                     return self._reply(404, {"error": "unknown path"})
                 # ?graphs=0 skips the adjacency matrices in the reply —
                 # score-only clients save the (N, d, d) JSON serialization
-                # (32k floats for a 128-clip request) and its transfer
+                # (32k floats for a 128-clip request) and its transfer.
+                # (The device-side graph computation and fetch are
+                # unchanged — only the reply serialization is skipped.)
                 want_graphs = parse_qs(url.query).get(
-                    "graphs", ["1"])[0] not in ("0", "false")
+                    "graphs", ["1"])[0].lower() not in ("0", "false", "no",
+                                                        "off")
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                 except ValueError:

@@ -140,8 +140,12 @@ def make_family_d_score_fn(variables, model=None) -> Callable:
     def score(batch: np.ndarray):
         import jax.numpy as jnp
 
-        flat = np.asarray(fwd(variables, jnp.asarray(batch)))  # one D2H
         n = len(batch)
+        if n == 0:  # public API (VideoScorer/make_score_fn call this
+            # directly, without ClipScoringService's empty-batch guard)
+            d = m.cfg.causal_dim
+            return np.zeros(0, np.float32), np.zeros((0, d, d), np.float32)
+        flat = np.asarray(fwd(variables, jnp.asarray(batch)))  # one D2H
         d = int(round(((flat.size - n) / n) ** 0.5))
         return flat[:n], flat[n:].reshape(n, d, d)
 
@@ -222,9 +226,20 @@ def make_family_d_bulk_score_fn(variables, model=None, *,
     # (bench, steady-state services with device-resident queues) can skip
     # the per-call host->device transfer
     score.fwd_many = fwd_many
-    # cost-accounting hint: XLA counts a lax.map body once regardless of
-    # trip count, so executed FLOPs = cost_analysis * flops_trip_factor
     score.mode = mode
+
+    def executed_flops(cost_analysis_flops: float, stacked_k: int) -> float:
+        """Executed FLOPs for one `fwd_many` call on a (K, B, ...) operand:
+        XLA's cost analysis counts a ``lax.map`` body ONCE regardless of
+        trip count, so the true count scales with the operand's actual
+        leading dim (NOT the constructor's `chunks_per_call` — `fwd_many`
+        is shape-polymorphic over K)."""
+        return float(cost_analysis_flops) * (stacked_k if mode == "map"
+                                             else 1)
+
+    score.executed_flops = executed_flops
+    # back-compat constant; only valid when fwd_many is called with leading
+    # K == chunks_per_call (prefer score.executed_flops)
     score.flops_trip_factor = chunks_per_call if mode == "map" else 1
     return score
 

@@ -93,8 +93,10 @@ class Trainer:
         bsh_data = batch_sharding(self.mesh)
         bsh_clips = batch_sharding(self.mesh, self._time_dim)
         # every engine-fed batch carries a "valid" mask (all-ones when the
-        # batch divides the mesh) so remainder batches are gradient-exact
-        bsh = {"clips": bsh_clips, "labels": bsh_data, "valid": bsh_data}
+        # batch divides the mesh) so remainder batches are gradient-exact.
+        # Shardings follow the sample's keys so extra per-batch arrays
+        # (e.g. an injected "pseudo_targets" stream) shard over 'data' too.
+        bsh = {k: (bsh_clips if k == "clips" else bsh_data) for k in sample}
         donate = (0,) if self.cfg.train.donate_state else ()
         self._jit_train = jax.jit(
             packed_step,
@@ -123,14 +125,16 @@ class Trainer:
             self._stacked_clips_sh = NamedSharding(self.mesh, P(*spec))
         else:
             self._stacked_clips_sh = self._stacked_sh
-        stacked_bsh = {"clips": self._stacked_clips_sh,
-                       "labels": self._stacked_sh, "valid": self._stacked_sh}
+        stacked_bsh = {k: (self._stacked_clips_sh if k == "clips"
+                           else self._stacked_sh) for k in sample}
         self._jit_train_multi = jax.jit(
             multi_step,
             in_shardings=(rep, stacked_bsh, rep),
             donate_argnums=donate,
         )
-        self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, bsh))
+        # eval batches inherit their existing shardings (None): eval loaders
+        # need not carry train-only keys like an injected pseudo_targets
+        self._jit_eval = jax.jit(self.task.eval_step, in_shardings=(rep, None))
         self._rng = jax.device_put(jax.random.key(self.cfg.train.seed + 1), rep)
 
     def put_batch(self, host_batch: Dict[str, np.ndarray]):

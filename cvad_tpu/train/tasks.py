@@ -109,8 +109,16 @@ def _family_d_task(cfg: ExperimentConfig) -> Task:
         valid = batch.get("valid")  # DP remainder padding mask (or None)
         rng = jax.random.fold_in(rng, state.step)
         r_drop, r_pseudo = jax.random.split(rng)
-        targets = pseudo_labels(r_pseudo, batch["clips"].shape[0],
-                                loss_cfg.pseudo_anomaly_rate)
+        if "pseudo_targets" in batch:
+            # injected label stream: dynamics-parity studies feed the torch
+            # reference and this engine ONE shared pseudo-label sequence so
+            # the anomaly-term trajectories are comparable under matched
+            # noise (the reference's own draws are unseeded torch.rand_like,
+            # avenue_training_script2.py:139-141)
+            targets = batch["pseudo_targets"]
+        else:
+            targets = pseudo_labels(r_pseudo, batch["clips"].shape[0],
+                                    loss_cfg.pseudo_anomaly_rate)
 
         def loss_fn(params):
             scores, adj, feats = model.apply(

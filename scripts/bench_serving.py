@@ -152,6 +152,13 @@ def main() -> None:
     ap.add_argument("--dtypes", default="float32,uint8",
                     help="comma list of client payload dtypes to measure "
                          "(uint8 = raw pixels, 4x smaller wire + H2D)")
+    ap.add_argument("--buckets", default="1,8,32,128",
+                    help="service batch buckets (requests pad UP to the "
+                         "next bucket: a 64-clip request on the default "
+                         "buckets runs the 128 executable half-empty)")
+    ap.add_argument("--bulk-only", action="store_true",
+                    help="skip single/concurrency sweeps (quick bulk A/B, "
+                         "e.g. bucket-shape studies)")
     ap.add_argument("--out", default=str(REPO / "runs" / "serving_bench.json"))
     args = ap.parse_args()
 
@@ -160,7 +167,8 @@ def main() -> None:
 
     import jax
 
-    service = service_from_path(args.ckpt, family="d")
+    buckets = tuple(int(b) for b in args.buckets.split(",") if b.strip())
+    service = service_from_path(args.ckpt, family="d", buckets=buckets)
     dtypes = [d.strip() for d in args.dtypes.split(",") if d.strip()]
     t0 = time.perf_counter()
     service.warmup(dtypes=dtypes)  # compile every bucket x dtype up front
@@ -183,16 +191,17 @@ def main() -> None:
         except OSError:
             pass
         for dtype in dtypes:
-            one = _npz_payload(1, rng, dtype)
             sec: dict = {}
-            _post(host, port, one)  # prime connections/path
-            sec["single"] = run_single(host, port, one)
-            print(f"[{dtype}] single-request: {sec['single']}", flush=True)
-            sec["concurrency"] = []
-            for c in (2, 4, 8):
-                row = run_concurrency(host, port, one, c, args.seconds)
-                sec["concurrency"].append(row)
-                print(f"[{dtype}] concurrency {c}: {row}", flush=True)
+            if not args.bulk_only:
+                one = _npz_payload(1, rng, dtype)
+                _post(host, port, one)  # prime connections/path
+                sec["single"] = run_single(host, port, one)
+                print(f"[{dtype}] single-request: {sec['single']}", flush=True)
+                sec["concurrency"] = []
+                for c in (2, 4, 8):
+                    row = run_concurrency(host, port, one, c, args.seconds)
+                    sec["concurrency"].append(row)
+                    print(f"[{dtype}] concurrency {c}: {row}", flush=True)
             sec["bulk"] = []
             for n in (32, 64, 128):
                 row = run_bulk(host, port, rng, dtype, n_clips=n)

@@ -47,28 +47,55 @@ from auc_parity import load_reference_module, _torch_view  # noqa: E402
 
 class _EpochShuffledLoader:
     """Framework-side loader: dict batches, reshuffled every epoch (the
-    torch DataLoader semantics the reference driver sees)."""
+    torch DataLoader semantics the reference driver sees).
+
+    Matched-noise mode: `perms` replays the torch DataLoader's exact
+    per-epoch permutations (same clips in the same batches) and
+    `pseudo_stream` attaches the shared per-batch pseudo-label draws as
+    ``batch["pseudo_targets"]`` (the family-D task consumes them instead of
+    its own RNG)."""
 
     def __init__(self, clips: np.ndarray, labels: np.ndarray,
-                 batch_size: int, seed: int, shuffle: bool = True):
+                 batch_size: int, seed: int, shuffle: bool = True,
+                 perms=None, pseudo_stream=None):
         self.clips, self.labels = clips, labels
         self.batch_size, self.shuffle = batch_size, shuffle
         self._rng = np.random.default_rng(seed)
+        self._perms = perms
+        self._stream = iter(pseudo_stream) if pseudo_stream is not None \
+            else None
+        self._epoch = 0
 
     def __len__(self):
         return len(self.clips) // self.batch_size
 
     def __iter__(self):
-        idx = np.arange(len(self.clips))
-        if self.shuffle:
-            self._rng.shuffle(idx)
+        if self._perms is not None:
+            idx = np.asarray(self._perms[self._epoch])
+            self._epoch += 1
+        else:
+            idx = np.arange(len(self.clips))
+            if self.shuffle:
+                self._rng.shuffle(idx)
         for i in range(len(self)):
             sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
-            yield {"clips": self.clips[sel], "labels": self.labels[sel]}
+            batch = {"clips": self.clips[sel], "labels": self.labels[sel]}
+            if self._stream is not None:
+                batch["pseudo_targets"] = np.asarray(next(self._stream),
+                                                     np.float32)
+            yield batch
 
 
-def _make_data(n_train: int, n_test: int, batch_size: int, cfg):
-    """Byte-identical uint8-quantized clips for both sides."""
+def _make_data(n_train: int, n_test: int, batch_size: int, cfg,
+               epochs: int = 0, matched_noise: bool = False):
+    """Byte-identical uint8-quantized clips for both sides.
+
+    With `matched_noise`: both sides also share (a) the per-epoch shuffle
+    permutations (ours replays the torch DataLoader's exact randperm
+    sequence) and (b) one precomputed pseudo-label stream, so the anomaly
+    term's trajectory is comparable batch-for-batch — only the inits (and
+    dropout draws) differ.  Returns (ours_loaders, ref_loaders,
+    pseudo_stream_for_ref)."""
     from cvad_tpu.data.datasets import SyntheticClipDataset
 
     tr = SyntheticClipDataset(cfg.data, n=n_train, split="Train")
@@ -76,12 +103,28 @@ def _make_data(n_train: int, n_test: int, batch_size: int, cfg):
     # channels-last float view (framework) — same values the torch view gets
     xtr, ytr = _torch_view(tr, cfg.data.normalize_clamp, "THWC_KEEP")
     xte, yte = _torch_view(te, cfg.data.normalize_clamp, "THWC_KEEP")
-    ours = (_EpochShuffledLoader(xtr, ytr, batch_size, seed=cfg.data.seed),
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    perms = stream = None
+    if matched_noise:
+        assert n_train % batch_size == 0, (
+            "matched-noise mode needs n_train divisible by batch_size so "
+            "both sides consume the same number of stream draws per epoch")
+        # the torch DataLoader's RandomSampler draws torch.randperm(n) from
+        # its generator once per epoch — replay the identical sequence
+        g = torch.Generator().manual_seed(cfg.data.seed)
+        perms = [torch.randperm(n_train, generator=g).numpy()
+                 for _ in range(epochs)]
+        srng = np.random.default_rng(cfg.data.seed + 7919)
+        n_batches = n_train // batch_size
+        stream = [(srng.uniform(size=batch_size) > 0.95).astype(np.float32)
+                  for _ in range(epochs * n_batches)]
+    ours = (_EpochShuffledLoader(xtr, ytr, batch_size, seed=cfg.data.seed,
+                                 perms=perms, pseudo_stream=stream),
             _EpochShuffledLoader(xte, yte, batch_size, shuffle=False,
                                  seed=cfg.data.seed))
     # torch view: (B, C, T, H, W)
-    import torch
-    from torch.utils.data import DataLoader, TensorDataset
     t_xtr = np.ascontiguousarray(xtr.transpose(0, 4, 1, 2, 3))
     t_xte = np.ascontiguousarray(xte.transpose(0, 4, 1, 2, 3))
     gen = torch.Generator().manual_seed(cfg.data.seed)
@@ -91,33 +134,53 @@ def _make_data(n_train: int, n_test: int, batch_size: int, cfg):
            DataLoader(TensorDataset(torch.from_numpy(t_xte),
                                     torch.from_numpy(yte)),
                       batch_size=batch_size, shuffle=False))
-    return ours, ref
+    return ours, ref, stream
 
 
-def run_reference(epochs: int, loaders, seed: int, out_dir: Path) -> dict:
+def run_reference(epochs: int, loaders, seed: int, out_dir: Path,
+                  pseudo_stream=None) -> dict:
     """The reference driver loop (`avenue_training_script2.py:398-460`),
-    CPU device, history in the v2 schema."""
+    CPU device, history in the v2 schema.
+
+    With `pseudo_stream`, ``torch.rand_like`` — whose ONLY call site in the
+    reference trainer is the pseudo-label draw
+    (``avenue_training_script2.py:141``, grep-verified) — is patched to
+    replay the shared stream: it returns uniforms placed so that
+    ``(u > 0.95)`` reproduces the injected labels exactly."""
     import torch
 
     ref = load_reference_module("avenue_training_script2")
     torch.manual_seed(seed)
     model = ref.ImprovedMiniCausalVAD(device="cpu")
     train_loader, test_loader = loaders
+    orig_rand_like = torch.rand_like
+    if pseudo_stream is not None:
+        it = iter(pseudo_stream)
+
+        def _replay_rand_like(t, **kw):
+            lbl = np.asarray(next(it), np.float32)
+            u = np.where(lbl > 0.5, 0.99, 0.5).astype(np.float32)
+            return torch.from_numpy(u).to(t.dtype).reshape(t.shape)
+
+        torch.rand_like = _replay_rand_like
     history = {"train_losses": [], "loss_components": [],
                "evaluation_metrics": [], "epochs": [], "learning_rates": []}
     t0 = time.perf_counter()
-    for epoch in range(epochs):
-        train_loss, comps = model.train_epoch_improved(train_loader)
-        history["train_losses"].append(float(train_loss))
-        history["loss_components"].append(
-            {k: float(v) for k, v in comps.items()})
-        history["epochs"].append(epoch + 1)
-        history["learning_rates"].append(
-            float(model.optimizer.param_groups[0]["lr"]))
-        if epoch % 5 == 0 or epoch == epochs - 1:
-            _, _, eval_metrics = model.evaluate_improved(test_loader)
-            history["evaluation_metrics"].append(
-                {k: float(v) for k, v in eval_metrics.items()})
+    try:
+        for epoch in range(epochs):
+            train_loss, comps = model.train_epoch_improved(train_loader)
+            history["train_losses"].append(float(train_loss))
+            history["loss_components"].append(
+                {k: float(v) for k, v in comps.items()})
+            history["epochs"].append(epoch + 1)
+            history["learning_rates"].append(
+                float(model.optimizer.param_groups[0]["lr"]))
+            if epoch % 5 == 0 or epoch == epochs - 1:
+                _, _, eval_metrics = model.evaluate_improved(test_loader)
+                history["evaluation_metrics"].append(
+                    {k: float(v) for k, v in eval_metrics.items()})
+    finally:
+        torch.rand_like = orig_rand_like
     history["wall_s"] = round(time.perf_counter() - t0, 1)
     (out_dir / "ref_history.json").write_text(json.dumps(history, indent=1))
     return history
@@ -202,7 +265,11 @@ def main() -> None:
     ap.add_argument("--n-train", type=int, default=128)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--out", default=str(REPO / "runs" / "dyn_parity_d"))
+    ap.add_argument("--no-matched-noise", action="store_true",
+                    help="let each side draw its own pseudo-labels/shuffles "
+                         "(the pre-round-5 comparison mode)")
     args = ap.parse_args()
+    matched = not args.no_matched_noise
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -211,28 +278,37 @@ def main() -> None:
     cfg = preset("avenue_improved")
     cfg = cfg.replace(data=cfg.data.replace(dataset="synthetic"))
     n_test = max(args.n_train // 2, 4)
-    ours_loaders, ref_loaders = _make_data(args.n_train, n_test,
-                                           args.batch_size, cfg)
+    ours_loaders, ref_loaders, stream = _make_data(
+        args.n_train, n_test, args.batch_size, cfg, epochs=args.epochs,
+        matched_noise=matched)
 
     print(f"[dyn_parity_d] ours: {args.epochs} epochs x "
-          f"{len(ours_loaders[0])} batches", flush=True)
+          f"{len(ours_loaders[0])} batches (matched_noise={matched})",
+          flush=True)
     ours = run_ours(args.epochs, ours_loaders, out_dir)
     print(f"[dyn_parity_d] ours done in {ours['wall_s']}s; reference...",
           flush=True)
-    ref = run_reference(args.epochs, ref_loaders, cfg.train.seed, out_dir)
+    ref = run_reference(args.epochs, ref_loaders, cfg.train.seed, out_dir,
+                        pseudo_stream=stream)
     print(f"[dyn_parity_d] reference done in {ref['wall_s']}s", flush=True)
 
     shipped_path = Path("/root/reference/improved_training_history.json")
     shipped = (json.loads(shipped_path.read_text())
                if shipped_path.exists() else None)
     cmp = compare(ref, ours, shipped)
+    note = ("identical uint8 synthetic clips both sides; matched per-epoch "
+            "shuffle permutations AND one shared pseudo-label stream "
+            "(torch.rand_like replayed on the reference side; "
+            "batch['pseudo_targets'] injected on ours) — only inits and "
+            "dropout draws differ" if matched else
+            "identical uint8 synthetic clips both sides; each side its own "
+            "init + pseudo-label draws (reference's are unseeded by design)")
     cmp["config"] = {"epochs": args.epochs, "n_train": args.n_train,
                      "n_test": n_test, "batch_size": args.batch_size,
+                     "matched_noise": matched,
                      "measured_at": time.time(),
                      "ref_wall_s": ref["wall_s"], "ours_wall_s": ours["wall_s"],
-                     "note": "identical uint8 synthetic clips both sides; "
-                             "each side its own init + pseudo-label draws "
-                             "(reference's are unseeded by design)"}
+                     "note": note}
     (out_dir / "comparison.json").write_text(json.dumps(cmp, indent=1) + "\n")
 
     acy = cmp["acyclicity_loss"]

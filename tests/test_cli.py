@@ -230,3 +230,42 @@ def test_cli_smoke(capsys):
     assert main(["smoke"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] and out["output_shape"] == [2, 1]
+
+
+def test_cli_plots_block_correlation(tmp_path, capsys):
+    """`cvad plots --block-correlation`: the reference's per-block
+    feature-correlation figure (Figure 2025-09-04 180626.png, SURVEY §2.4 —
+    its producing script is lost upstream) from a trained family-C run."""
+    out_dir = tmp_path / "run"
+    common = ["--set", "data.batch_size=4", "--set", "data.frame_size=32,32",
+              "--set", "train.log_every=1000000"]
+    assert main(["train", "--preset", "mini3d", "--epochs", "1",
+                 "--out", str(out_dir), "--n-synthetic", "8",
+                 "--set", "train.save_interval=1"] + common) == 0
+    capsys.readouterr()
+    fig = tmp_path / "blocks.png"
+    rc = main(["plots", "--block-correlation", "--run", str(out_dir),
+               "--step", "latest", "--out", str(fig),
+               "--set", "data.batch_size=4",
+               "--set", "data.frame_size=32,32"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    if rc != 0 and out.get("out") is None:
+        pytest.skip("matplotlib unavailable")
+    assert rc == 0
+    assert out["blocks"] == [8, 16, 32]  # reference channel widths
+    assert out["restored"] is not None
+    assert fig.exists() and fig.stat().st_size > 0
+    # correlations are well-formed: symmetric, unit diagonal
+    assert all(0.0 <= v <= 1.0 for v in out["mean_abs_offdiag"])
+
+
+def test_cli_plots_block_correlation_fresh_init(tmp_path, capsys):
+    """Without --run the tool renders a fresh-init structure figure."""
+    fig = tmp_path / "blocks.png"
+    rc = main(["plots", "--block-correlation", "--out", str(fig),
+               "--set", "data.batch_size=4",
+               "--set", "data.frame_size=32,32"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    if rc != 0 and out.get("out") is None:
+        pytest.skip("matplotlib unavailable")
+    assert rc == 0 and out["blocks"] == [8, 16, 32]

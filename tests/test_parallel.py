@@ -157,6 +157,40 @@ def test_family_b_dp_memory_state_matches(cpu_devices, tmp_path):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_family_c_dp_step_matches(cpu_devices, tmp_path):
+    """Family C under DP (completes the per-family DP matrix: D, B, A,
+    serving already have one): 8-device step == 1-device step — BCE loss,
+    conditional-clip optimizer, BN stats."""
+    cfg = preset("family_c")
+    cfg = cfg.replace(
+        data=cfg.data.replace(batch_size=8, frame_size=(32, 32)),
+        train=cfg.train.replace(out_dir=str(tmp_path)))
+    task = build_task(cfg)
+    rng = np.random.default_rng(0)
+    host = {"clips": rng.uniform(0, 1, (8, 8, 32, 32, 1)).astype(np.float32),
+            "labels": np.asarray([0, 1, 0, 1, 1, 0, 0, 1], np.float32)}
+    state = task.init_state(jax.random.key(0), jax.tree.map(jnp.asarray, host))
+
+    results = {}
+    for n in (1, 8):
+        mesh = create_mesh(devices=cpu_devices[:n])
+        rep = replicated(mesh)
+        st = jax.device_put(state, rep)
+        step = jax.jit(task.train_step,
+                       in_shardings=(rep, batch_sharding(mesh), rep))
+        new_state, metrics = step(st, shard_batch(mesh, host),
+                                  jax.device_put(jax.random.key(1), rep))
+        results[n] = (jax.device_get(new_state),
+                      float(jax.device_get(metrics["loss"])))
+
+    (s1, l1), (s8, l8) = results[1], results[8]
+    assert abs(l1 - l8) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_family_a_dp_step_matches(cpu_devices, tmp_path):
     """Family A under DP: masked pipeline + VAE rng + BN stats match
     across mesh sizes."""

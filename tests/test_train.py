@@ -538,3 +538,33 @@ def test_steps_per_call_remainder_masked(tmp_path):
                     jax.tree_util.tree_leaves(results[2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_family_d_pseudo_target_injection(tmp_path):
+    """An injected batch["pseudo_targets"] stream replaces the family-D
+    task's own pseudo-label draw (dynamics-parity studies feed the torch
+    reference and this engine one shared stream — scripts/dyn_parity_d.py).
+    Injection is deterministic and actually consumed by the anomaly term."""
+    cfg = _small(preset("family_d"), tmp_path)
+    task = build_task(cfg)
+    rng = np.random.default_rng(0)
+    host = {"clips": rng.uniform(0, 1, (8, 8, 24, 24, 3)).astype(np.float32),
+            "labels": np.zeros(8, np.float32)}
+    state = task.init_state(jax.random.key(0), jax.tree.map(jnp.asarray, host))
+    key = jax.random.key(1)
+
+    def step(targets):
+        b = dict(host)
+        if targets is not None:
+            b["pseudo_targets"] = np.asarray(targets, np.float32)
+        _, m = jax.jit(task.train_step)(state, jax.tree.map(jnp.asarray, b),
+                                        key)
+        return {k: float(v) for k, v in m.items()}
+
+    zeros = step(np.zeros(8))
+    zeros2 = step(np.zeros(8))
+    ones = step(np.ones(8))
+    assert zeros == zeros2  # deterministic under injection
+    assert zeros["anomaly_loss"] != ones["anomaly_loss"]  # consumed
+    # graph terms are label-independent — identical under any injection
+    assert zeros["acyclicity_loss"] == ones["acyclicity_loss"]
