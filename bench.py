@@ -35,14 +35,47 @@ def log(*a):
 
 STEPS_PER_CALL = 8  # engine steps_per_call: K scanned train steps per dispatch
 PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) peak dense bf16 FLOP/s per chip
+FLOPS_CACHE = Path(__file__).parent / ".bench_flops_cache.json"
 
 
-def _step_flops(trainer, batch) -> float:
+def _cached_flops(key: str, compute) -> float:
+    """File-cached XLA cost-analysis FLOP counts.  The counts are
+    deterministic static analysis per (model config, shapes, dtype) — but
+    obtaining one costs a full lower+compile through the 20-240 s remote
+    tunnel, one per section.  Caching them keeps the sweep inside the
+    driver's budget; throughput is always measured live.  Refresh with
+    ``CVAD_BENCH_FLOPS_REFRESH=1`` (needed after model/lowering changes)."""
+    import os
+
+    cache = {}
+    if FLOPS_CACHE.exists() and not os.environ.get("CVAD_BENCH_FLOPS_REFRESH"):
+        try:
+            cache = json.loads(FLOPS_CACHE.read_text())
+        except (OSError, ValueError):
+            cache = {}
+        if key in cache:
+            return float(cache[key])
+    value = float(compute())
+    cache[key] = value
+    try:
+        FLOPS_CACHE.write_text(json.dumps(cache, indent=1))
+    except OSError:
+        pass
+    return value
+
+
+def _step_flops(trainer, batch, key: str = "") -> float:
     """XLA's own FLOP count for ONE single-step train dispatch (fwd + loss +
     bwd + optimizer) — self-auditing, not a hand-derived constant."""
-    compiled = trainer._jit_train.lower(
-        trainer.state, trainer.put_batch(batch), trainer._rng).compile()
-    return float(compiled.cost_analysis()["flops"])
+
+    def compute():
+        compiled = trainer._jit_train.lower(
+            trainer.state, trainer.put_batch(batch), trainer._rng).compile()
+        return float(compiled.cost_analysis()["flops"])
+
+    if not key:
+        return compute()
+    return _cached_flops(key, compute)
 
 
 def _mfu(clips_per_s: float, flops_per_step: float, batch: int) -> float:
@@ -116,7 +149,8 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3,
         return best
     mfu = mfu_alg = float("nan")
     try:
-        flops_per_step = _step_flops(trainer, batch)
+        flops_per_step = _step_flops(trainer, batch,
+                                     key=f"family_d|{dtype}|B{BATCH}")
         mfu = _mfu(best, flops_per_step, BATCH)
         log(f"model FLOPs (XLA cost analysis): {flops_per_step / BATCH / 1e6:.1f}"
             f" MFLOP/clip -> MFU {mfu * 100:.1f}% of {PEAK_BF16_FLOPS / 1e12:.0f}"
@@ -133,7 +167,8 @@ def measure_framework(dtype: str = "bfloat16", reps: int = 3,
                                                       conv1_mode="native"))
         tr_nat = Trainer(cfg_nat, mesh=mesh)
         tr_nat.init_state(batch)
-        flops_alg = _step_flops(tr_nat, batch)
+        flops_alg = _step_flops(tr_nat, batch,
+                                key=f"family_d_native|{dtype}|B{BATCH}")
         mfu_alg = _mfu(best, flops_alg, BATCH)
         log(f"algorithmic FLOPs (native-stack lowering): "
             f"{flops_alg / BATCH / 1e6:.1f} MFLOP/clip -> useful-work MFU "
@@ -193,8 +228,11 @@ def measure_inference() -> float:
         # round-3's inference MFU 8x, recorded as 1.3%) — the executed
         # FLOPs are body x k, verified exactly equal to the flat-lowering
         # count (220.16 vs 220.17 GF/call, PARITY.md inference entry)
-        flops_per_call = score.flops_trip_factor * float(score.fwd_many.lower(
-            variables, stacked).compile().cost_analysis()["flops"])
+        flops_per_call = score.executed_flops(_cached_flops(
+            f"family_d_bulk_infer|B{BATCH}|K{k}",
+            lambda: score.fwd_many.lower(
+                variables, stacked).compile().cost_analysis()["flops"]),
+            stacked.shape[0])
         mfu = _mfu(best / CLIP_SHAPE[0], flops_per_call, k * BATCH)
     except Exception as e:
         log(f"inference MFU unavailable: {e}")
@@ -243,7 +281,9 @@ def measure_long_window(t_len: int = 64, batch: int = 128) -> float:
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
     mfu = float("nan")
     try:
-        mfu = _mfu(best, _step_flops(trainer, b), batch)
+        mfu = _mfu(best, _step_flops(trainer, b,
+                                     key=f"family_d|bf16|T{t_len}|B{batch}"),
+                   batch)
     except Exception as e:
         log(f"T={t_len} MFU unavailable: {e}")
     log(f"long-window train step (T={t_len}, batch {batch}, bf16): "
@@ -291,7 +331,8 @@ def measure_family_b(batch: int = 256) -> float:
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
     mfu = float("nan")
     try:
-        mfu = _mfu(best, _step_flops(trainer, b), batch)
+        mfu = _mfu(best, _step_flops(trainer, b, key=f"family_b|B{batch}"),
+                   batch)
     except Exception as e:
         log(f"family-B MFU unavailable: {e}")
     log(f"family-B train step (memory AE, bf16, batch {batch}): "
@@ -360,7 +401,9 @@ def measure_flash_attention(batch: int = 16, t_len: int = 128) -> tuple:
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
     mfu = float("nan")
     try:
-        mfu = _mfu(best, _step_flops(trainer, b), batch)
+        mfu = _mfu(best, _step_flops(trainer, b,
+                                     key=f"family_b_attn|T{t_len}|B{batch}"),
+                   batch)
     except Exception as e:
         log(f"flash-attention MFU unavailable: {e}")
     log(f"flash-attention train step (family-B attention encoder, T={t_len}, "
@@ -407,7 +450,8 @@ def measure_family_c(batch: int = 256) -> tuple:
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
     mfu = float("nan")
     try:
-        mfu = _mfu(best, _step_flops(trainer, b), batch)
+        mfu = _mfu(best, _step_flops(trainer, b, key=f"family_c|B{batch}"),
+                   batch)
     except Exception as e:
         log(f"family-C MFU unavailable: {e}")
     log(f"family-C train step (mini 3D-CNN, bf16, batch {batch}): "
@@ -461,7 +505,10 @@ def measure_family_a(batch: int = 64, frame_hw: tuple = (64, 64),
         best = max(best, k * batch * iters / (time.perf_counter() - t0))
     mfu = float("nan")
     try:
-        mfu = _mfu(best, _step_flops(trainer, b), batch)
+        mfu = _mfu(best, _step_flops(
+            trainer, b,
+            key=f"family_a|{frame_hw[0]}x{frame_hw[1]}|T{t_len}|B{batch}"),
+                   batch)
     except Exception as e:
         log(f"family-A MFU unavailable: {e}")
     log(f"family-A train step ({label}: {frame_hw[0]}x{frame_hw[1]} T={t_len} "
@@ -509,9 +556,18 @@ def measure_input_pipeline() -> float:
     return fps
 
 
-def measure_end_to_end_epoch() -> float:
-    """Whole-pipeline throughput: on-disk PGM frames -> C++ decode ->
-    prefetching batcher -> device double-buffer -> bf16 train step."""
+def measure_end_to_end_epoch() -> tuple:
+    """Whole-pipeline throughput: on-disk .tif frames -> C++ decode ->
+    train epochs, measured BOTH ways the engine can feed the device:
+
+    - uncached: prefetching batcher re-ships every clip every epoch (the
+      reference's DataLoader model; through this dev tunnel's ~20-45 MB/s
+      host->device path it is transfer-bound ~98 KB/clip/epoch);
+    - cached (production default, ``train.device_cache='auto'``): the split
+      lives in HBM after one bulk fill, epoch 2+ is device-side gathers +
+      steps with zero per-epoch clip H2D (cvad_tpu.data.device_cache).
+
+    Returns (cached_cps, uncached_cps)."""
     import tempfile
 
     from cvad_tpu.config import preset
@@ -523,32 +579,45 @@ def measure_end_to_end_epoch() -> float:
     with tempfile.TemporaryDirectory() as d:
         # .tif frames: UCSD Ped2's actual on-disk format — the C++ decode core
         # handles it natively (round 1 fell back to PIL here)
-        write_synthetic_video_tree(d, splits=("Train",), videos_per_split=12,
-                                   frames_per_video=128, hw=(64, 64),
+        write_synthetic_video_tree(d, splits=("Train",), videos_per_split=16,
+                                   frames_per_video=262, hw=(64, 64),
                                    channels=1, fmt="tif")
+        k = STEPS_PER_CALL
         cfg = preset("family_d")
         cfg = cfg.replace(
-            data=cfg.data.replace(batch_size=BATCH, stride=4, channels=3,
+            data=cfg.data.replace(batch_size=BATCH, stride=2, channels=3,
                                   transfer_dtype="uint8"),
             train=cfg.train.replace(out_dir="/tmp/cvad_bench_e2e",
-                                    log_every=10**9, dtype="bfloat16"))
+                                    log_every=10**9, dtype="bfloat16",
+                                    steps_per_call=k, device_cache="off"))
         ds = UCSDPed2Dataset(d, "Train", cfg.data)
         loader = BatchLoader(ds, BATCH, shuffle=False, drop_last=True,
                              num_threads=4, prefetch=2,
                              transfer_dtype="uint8")
         trainer = Trainer(cfg, mesh=None)
-        trainer.init_state(next(iter(loader)))
-        trainer.train_epoch(loader, epoch=0)  # warm epoch (compiles)
+        trainer.init_state(loader.sample_batch())
+        trainer.train_epoch(loader, epoch=0, record=False)  # compile + decode
         n_clips = len(loader) * BATCH
         t0 = time.perf_counter()
-        trainer.train_epoch(loader, epoch=1)
-        dt = time.perf_counter() - t0
-    cps = n_clips / dt
-    log(f"end-to-end epoch (disk->decode->train): {cps:.1f} clips/s "
-        f"({n_clips} clips in {dt:.2f}s; ceiling here is the dev tunnel's "
-        f"~20-45 MB/s host->device path at ~98 KB/clip uint8, "
-        f"not decode or compute)")
-    return cps
+        trainer.train_epoch(loader, epoch=1, record=False)
+        uncached = n_clips / (time.perf_counter() - t0)
+        log(f"end-to-end epoch, uncached (disk->decode->per-batch H2D->train):"
+            f" {uncached:.1f} clips/s ({n_clips} clips; ceiling here is the "
+            f"dev tunnel's ~20-45 MB/s host->device path at ~98 KB/clip "
+            f"uint8, not decode or compute)")
+        # flip the SAME trainer to the device cache (identical compiled step;
+        # only the gather jit is new) — epoch 2 fills HBM, epoch 3 is the
+        # steady state every later epoch runs at
+        trainer.cfg = trainer.cfg.replace(
+            train=trainer.cfg.train.replace(device_cache="auto"))
+        trainer.train_epoch(loader, epoch=2, record=False)  # bulk fill epoch
+        t0 = time.perf_counter()
+        trainer.train_epoch(loader, epoch=3, record=False)
+        cached = n_clips / (time.perf_counter() - t0)
+    log(f"end-to-end epoch, HBM clip cache (epoch 2+ steady state): "
+        f"{cached:.1f} clips/s — per-epoch clip H2D structurally removed "
+        f"(host ships shuffle indices only)")
+    return cached, uncached
 
 
 def measure_reference_baseline() -> float:
@@ -641,6 +710,7 @@ def main() -> None:
     import contextlib
     import os
 
+    t_start = time.perf_counter()
     fallback = os.environ.get("CVAD_BENCH_FALLBACK") == "1"
     if not fallback:
         # two bounded probes (a healthy tunnel answers in seconds; cold
@@ -704,28 +774,127 @@ def main() -> None:
         log("cpu-fallback: skipping the TPU context sweep")
         _write_context(out_path, context)
         return
-    try:
-        context["train_bf16_per_dispatch_cps"] = measure_framework(
-            "bfloat16", reps=1, steps_per_call=1)
-        context["train_f32_cps"] = measure_framework("float32", reps=1)
-        (context["long_window_t64_cps"],
-         context["long_window_t64_mfu"]) = measure_long_window()
-        context["family_b_cps"], context["family_b_mfu"] = measure_family_b()
-        context["family_c_cps"], context["family_c_mfu"] = measure_family_c()
-        context["family_a_cps"], context["family_a_mfu"] = measure_family_a()
-        (context["family_a_fullframe_cps"],
-         context["family_a_fullframe_mfu"]) = measure_family_a(
-            batch=64, frame_hw=(240, 360), t_len=8, label="fullframe")
-        (context["flash_attention_t128_cps"],
-         context["flash_attention_t128_mfu"],
-         context["flash_attention_max_abs_err"]) = measure_flash_attention()
-        context["inference_fps"], context["inference_mfu"] = measure_inference()
-        # host-bound lines (no device utilization to report)
-        context["native_decode_fps"] = measure_input_pipeline()
-        context["end_to_end_epoch_cps"] = measure_end_to_end_epoch()
-    except Exception as e:  # context metrics are best-effort
-        log(f"context metrics failed: {e}")
+    _run_context_sweep(context, t_start)
     _write_context(out_path, context)
+    # compact recap so the tail of any captured log carries every context
+    # key even when earlier per-section lines scrolled out of the capture
+    recap = {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in context.items()
+             if k not in ("headline", "measured_at")}
+    log("context summary: " + json.dumps(recap))
+
+
+def _tupled(keys, values):
+    values = values if isinstance(values, tuple) else (values,)
+    return {k: v for k, v in zip(keys, values)}
+
+
+# Context sections: name -> (estimate_s, runner returning {key: value}).
+# Estimates are the pre-skip budget check AND the base of the per-section
+# subprocess deadline; the remote compile service's latency tail is long
+# (a family-A compile was observed to exceed 15 minutes once), so every
+# section runs in its own killable child — one pathological compile can
+# delay its section, never the whole artifact.
+SECTIONS = [
+    ("inference", 120, lambda: _tupled(
+        ("inference_fps", "inference_mfu"), measure_inference())),
+    ("end_to_end_epoch", 240, lambda: _tupled(
+        ("end_to_end_epoch_cps", "end_to_end_epoch_uncached_cps"),
+        measure_end_to_end_epoch())),
+    ("family_a", 240, lambda: _tupled(
+        ("family_a_cps", "family_a_mfu"), measure_family_a())),
+    ("family_b", 150, lambda: _tupled(
+        ("family_b_cps", "family_b_mfu"), measure_family_b())),
+    ("family_c", 120, lambda: _tupled(
+        ("family_c_cps", "family_c_mfu"), measure_family_c())),
+    ("family_a_fullframe", 240, lambda: _tupled(
+        ("family_a_fullframe_cps", "family_a_fullframe_mfu"),
+        measure_family_a(batch=64, frame_hw=(240, 360), t_len=8,
+                         label="fullframe"))),
+    ("long_window_t64", 180, lambda: _tupled(
+        ("long_window_t64_cps", "long_window_t64_mfu"),
+        measure_long_window())),
+    ("train_variants", 180, lambda: _tupled(
+        ("train_bf16_per_dispatch_cps", "train_f32_cps"),
+        (measure_framework("bfloat16", reps=1, steps_per_call=1),
+         measure_framework("float32", reps=1)))),
+    ("flash_attention", 240, lambda: _tupled(
+        ("flash_attention_t128_cps", "flash_attention_t128_mfu",
+         "flash_attention_max_abs_err"), measure_flash_attention())),
+    ("native_decode", 60, lambda: _tupled(
+        ("native_decode_fps",), measure_input_pipeline())),
+]
+_RESULT_MARK = "CVAD_SECTION_RESULT "
+
+
+def run_section_child(name: str) -> None:
+    """Child-process entry (``bench.py --section NAME``): run one context
+    section and emit its keys on stdout behind a marker the parent parses.
+    Logs still go to stderr and are forwarded."""
+    runner = dict((n, r) for n, _, r in SECTIONS)[name]
+    out = runner()
+    clean = {k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+             for k, v in out.items()}
+    print(_RESULT_MARK + json.dumps(clean), flush=True)
+
+
+def _run_context_sweep(context: dict, t_start: float) -> None:
+    """Context sections in priority order under a wall-clock budget.
+
+    The round-4 driver run timed out mid-sweep (BENCH_r04.json rc 124): cold
+    compiles through the remote tunnel cost 20-240 s per section and there
+    was no budget check.  Now: (1) sections that no longer fit
+    ``CVAD_BENCH_BUDGET_S`` (measured from process start) are skipped
+    cleanly and recorded under ``"skipped"``; (2) each section runs in a
+    subprocess with a hard deadline (min(2x its estimate, the remaining
+    budget)), so a pathological remote compile costs one section, not the
+    artifact; (3) the verdict's required keys (inference, end-to-end epoch,
+    family-A) run first.
+    """
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("CVAD_BENCH_BUDGET_S", "840"))
+    skipped, timed_out, failed = [], [], []
+    for name, est, _ in SECTIONS:
+        elapsed = time.perf_counter() - t_start
+        remaining = budget - elapsed
+        if est > remaining:
+            skipped.append(name)
+            log(f"budget: skipping {name} ({elapsed:.0f}s elapsed + ~{est}s "
+                f"> {budget:.0f}s)")
+            continue
+        deadline = min(2 * est, remaining)
+        try:
+            r = subprocess.run(
+                [sys.executable, str(Path(__file__).absolute()),
+                 "--section", name],
+                capture_output=True, text=True, timeout=deadline)
+        except subprocess.TimeoutExpired as e:
+            timed_out.append(name)
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                 else e.stderr.decode(errors="replace"))
+            log(f"{name}: killed at its {deadline:.0f}s deadline "
+                f"(remote-compile latency tail); continuing")
+            continue
+        if r.stderr:
+            sys.stderr.write(r.stderr)
+        got = None
+        for line in r.stdout.splitlines():
+            if line.startswith(_RESULT_MARK):
+                got = json.loads(line[len(_RESULT_MARK):])
+        if r.returncode != 0 or got is None:
+            failed.append(name)
+            log(f"{name} failed rc={r.returncode}: {r.stdout[-200:]}")
+            continue
+        context.update(got)
+    context["skipped"] = skipped
+    if timed_out:
+        context["timed_out"] = timed_out
+    if failed:
+        context["failed"] = failed
+    context["sweep_elapsed_s"] = round(time.perf_counter() - t_start, 1)
 
 
 def _write_context(path: Path, context: dict) -> None:
@@ -742,4 +911,7 @@ def _write_context(path: Path, context: dict) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        run_section_child(sys.argv[2])
+    else:
+        main()

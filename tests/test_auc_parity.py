@@ -12,6 +12,8 @@ faithful implementation (see the study module docstring).
 """
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 from pathlib import Path
 
@@ -27,6 +29,7 @@ def _load_study():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_family_c_auc_parity(tmp_path):
     """Supervised family C: both sides separate the synthetic anomalies
     essentially perfectly, and agree with each other."""
@@ -38,6 +41,7 @@ def test_family_c_auc_parity(tmp_path):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_family_a_auc_tracks_reference(tmp_path):
     """12-stage pipeline at CI size is under-trained on BOTH sides (each
     near chance on the hard profile at 3 epochs x 32 clips; measured ref
@@ -50,6 +54,7 @@ def test_family_a_auc_tracks_reference(tmp_path):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_family_b_auc_tracks_reference(tmp_path):
     """Normal-only family B at CI size is under-trained on BOTH sides —
     the parity claim is that the two implementations track each other's

@@ -26,6 +26,7 @@ def _forward_pair(cfg, x, rng, **apply_kw):
     return m32.apply(v, x, **kw), m16.apply(v, x, **kw)
 
 
+@pytest.mark.slow
 def test_family_a_bf16_forward_close(rng):
     cfg = FamilyAConfig(frame_hw=(48, 72))
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 8, 48, 72, 1)),
@@ -38,6 +39,7 @@ def test_family_a_bf16_forward_close(rng):
     assert out16["direct_predictions"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_family_a_task_flips_dtype():
     ec = ExperimentConfig(model=FamilyAConfig())
     ec = ec.replace(train=ec.train.replace(dtype="bfloat16"))

@@ -56,7 +56,8 @@ def _assert_bit_identical(p_a, p_b, hist_a, hist_b):
     assert hist_a["train_losses"] == hist_b["train_losses"]
 
 
-@pytest.mark.parametrize("steps_per_call", [1, 3])
+@pytest.mark.parametrize("steps_per_call", [
+    pytest.param(1, marks=pytest.mark.slow), 3])
 def test_cached_fit_bit_identical(tmp_path, steps_per_call):
     mesh = create_mesh(devices=jax.devices("cpu")[:1])
     t_on, hist_on, p_on = _fit(
@@ -77,6 +78,7 @@ def test_cached_fit_bit_identical_dp8(tmp_path):
     _assert_bit_identical(p_on, p_off, hist_on, hist_off)
 
 
+@pytest.mark.slow
 def test_cached_skip_batches_matches_uncached(tmp_path):
     """Mid-epoch resume composition: cached epoch with skip_batches equals
     the uncached one batch-for-batch."""

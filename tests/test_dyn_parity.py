@@ -35,9 +35,13 @@ def test_family_d_dynamics_track_reference(tmp_path):
 
     cfg = preset("avenue_improved")
     cfg = cfg.replace(data=cfg.data.replace(dataset="synthetic"))
-    ours_loaders, ref_loaders = study._make_data(16, 8, 4, cfg)
+    # matched-noise mode: shared shuffle permutations + one pseudo-label
+    # stream (the round-5 production study configuration)
+    ours_loaders, ref_loaders, stream = study._make_data(
+        16, 8, 4, cfg, epochs=3, matched_noise=True)
     ours = study.run_ours(3, ours_loaders, tmp_path)
-    ref = study.run_reference(3, ref_loaders, cfg.train.seed, tmp_path)
+    ref = study.run_reference(3, ref_loaders, cfg.train.seed, tmp_path,
+                              pseudo_stream=stream)
     cmp = study.compare(ref, ours, None)
 
     # v2 history schema parity (the reference driver's observable contract)

@@ -190,6 +190,7 @@ def test_dataset_frame_auc_motion_scorer(gt_tree):
     assert rep["frame_auc_normalized"] > 0.6, rep
 
 
+@pytest.mark.slow
 def test_cvad_auc_cli_with_trained_run(gt_tree, tmp_path):
     """Turnkey check of the driver itself: train family C one epoch on the
     gt tree, then `cvad auc` computes a frame-AUC from that run's

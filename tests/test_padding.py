@@ -36,8 +36,9 @@ def _garbage_pad(batch, total, rng):
     return out
 
 
-@pytest.mark.parametrize("family", ["family_d", "family_c", "family_b",
-                                    "causal_pipeline"])
+@pytest.mark.parametrize("family", [
+    "family_d", "family_c", "family_b",
+    pytest.param("causal_pipeline", marks=pytest.mark.slow)])
 def test_padded_rows_do_not_affect_update(family, np_rng):
     """Same real rows + different garbage padding -> identical new params."""
     cfg = preset(family)

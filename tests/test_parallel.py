@@ -9,6 +9,7 @@ changes numerics (SURVEY.md §7 step 5).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cvad_tpu.config import preset
 from cvad_tpu.runtime.mesh import (batch_sharding, create_mesh,
@@ -89,6 +90,7 @@ def test_eval_sharded_outputs(tmp_path, cpu_devices):
     assert np.isfinite(out["predictions"]).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun(cpu_devices):
     import __graft_entry__ as g
 
@@ -191,6 +193,7 @@ def test_family_c_dp_step_matches(cpu_devices, tmp_path):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_family_a_dp_step_matches(cpu_devices, tmp_path):
     """Family A under DP: masked pipeline + VAE rng + BN stats match
     across mesh sizes."""

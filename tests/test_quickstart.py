@@ -3,12 +3,15 @@ score -> HTTP score) runs end to end on CPU."""
 
 import os
 import subprocess
+
+import pytest
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_quickstart_lifecycle(tmp_path):
     prog = (
         "import jax, sys\n"

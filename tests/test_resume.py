@@ -4,6 +4,7 @@ reference never had; SURVEY.md §5)."""
 
 import jax
 import numpy as np
+import pytest
 
 from cvad_tpu.config import preset
 from cvad_tpu.runtime.mesh import create_mesh
@@ -23,6 +24,7 @@ def _mesh1():
     return create_mesh(devices=jax.devices("cpu")[:1])
 
 
+@pytest.mark.slow
 def test_resume_continues_training(tmp_path):
     cfg2 = _cfg(tmp_path, 2)
     tr1 = Trainer(cfg2, mesh=_mesh1())
@@ -219,6 +221,7 @@ def test_midepoch_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_midepoch_resume_scanned_multistep(tmp_path):
     """Same preemption/resume contract on the `steps_per_call>1` scanned
     path: mid saves land on chunk boundaries, the resumed run re-chunks the
@@ -256,6 +259,7 @@ def test_midepoch_resume_scanned_multistep(tmp_path):
                                    rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_midepoch_resume_on_dp_sp_mesh(tmp_path):
     """Preemption/resume on the 4x2 DP x SP mesh (clips' T axis sharded
     over 'time', GSPMD halo exchanges): the resumed sharded run must be
@@ -291,6 +295,7 @@ def test_midepoch_resume_on_dp_sp_mesh(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_midepoch_resume_family_b_memory_bank(tmp_path):
     """Mid-epoch preemption with NON-PARAMETER step state: the family-B
     memory bank (TrainState.extra ring buffer, SURVEY.md §7 hard part #2)

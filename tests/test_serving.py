@@ -139,6 +139,7 @@ def test_service_from_checkpoint():
     assert res.graphs.shape == (2, 16, 16)
 
 
+@pytest.mark.slow
 def test_family_a_remat_equivalence(rng):
     """remat=True must not change outputs (only the backward memory plan)."""
     import jax
@@ -300,6 +301,7 @@ def test_export_family_b_and_c_roundtrip(rng):
     np.testing.assert_allclose(load_scorer(blob_c)(x), ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_family_a_and_e_roundtrip(rng):
     """A (masked pipeline; small frames) and E artifacts reproduce the live
     deterministic forwards through serialize -> deserialize."""

@@ -82,6 +82,7 @@ def test_sharded_gradients_match_unsharded(cpu_devices):
                                    rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_long_window_t64(cpu_devices, tmp_path):
     """The north-star long-window config: N train steps at T=64 on a
     (2 data x 4 time) mesh — each device holds only 16 of the 64 frames —

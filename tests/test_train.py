@@ -262,6 +262,7 @@ def test_family_b_loss_sufficient_stats_exact():
                                rtol=0, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_family_a_fit(tmp_path):
     cfg = preset("family_a")
     cfg = cfg.replace(model=cfg.model.replace(frame_hw=(32, 48)),
@@ -275,6 +276,7 @@ def test_family_a_fit(tmp_path):
     assert "val_acc" in hist["evaluation_metrics"][0]
 
 
+@pytest.mark.slow
 def test_family_a_stem_frozen(tmp_path):
     """backbone conv1/bn1 params must not move (reference
     apply_memory_efficient_training, causal_anomaly_detection.py:592-607)."""
@@ -447,6 +449,7 @@ def test_steps_per_call_remainder(tmp_path):
     assert int(jax.device_get(tr.state.step)) == 5
 
 
+@pytest.mark.slow
 def test_steps_per_call_logging(tmp_path):
     """The scanned multi-step path emits the same train_batch JSONL
     observability as the single-step path (per-dispatch tick, log_every
@@ -498,6 +501,7 @@ def test_lr_update_preserves_masked_opt_state(tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_family_a_multiepoch_cosine(tmp_path):
     """Two epochs with the cosine schedule (lr changes between epochs)."""
     cfg = preset("causal_pipeline")
@@ -514,6 +518,7 @@ def test_family_a_multiepoch_cosine(tmp_path):
     assert hist["learning_rates"][0] != tr.scheduler.lr
 
 
+@pytest.mark.slow
 def test_steps_per_call_remainder_masked(tmp_path):
     """Regression (self-review finding): on the 8-device mesh, a
     non-multiple remainder batch through the steps_per_call>1 path must be
