@@ -691,7 +691,7 @@ def _device_probe(timeout_s: float) -> bool:
     return status == "ok"
 
 
-def _reexec_cpu_fallback() -> None:
+def _reexec_cpu_fallback(reason: str = "TPU relay unreachable after bounded probes") -> None:
     """Replace this process with a CPU-pinned bench run (axon sitecustomize
     stripped so the wedged plugin never registers).  The artifact line then
     records platform=cpu-fallback — an honest JAX-on-host-CPU vs
@@ -702,6 +702,7 @@ def _reexec_cpu_fallback() -> None:
 
     env = cpu_only_env()
     env["CVAD_BENCH_FALLBACK"] = "1"
+    env["CVAD_BENCH_FALLBACK_REASON"] = reason
     os.execve(sys.executable, [sys.executable, str(Path(__file__).absolute())],
               env)
 
@@ -719,7 +720,7 @@ def main() -> None:
             log("accelerator unreachable (relay wedged): falling back to "
                 "host-CPU JAX so the bench artifact exists; these are NOT "
                 "TPU numbers")
-            _reexec_cpu_fallback()
+            _reexec_cpu_fallback("TPU relay unreachable after bounded probes")
 
     if fallback:
         # f32 (CPU bf16 is software-emulated: a 40-minute run, measured) and
@@ -728,7 +729,17 @@ def main() -> None:
                                   iters=6)
         mfu = mfu_alg = float("nan")
     else:
-        value, mfu, mfu_alg = measure_framework("bfloat16", report_mfu=True)
+        headline = _run_headline_guarded(t_start)
+        if headline is None:
+            # device discovery works but the remote COMPILE service is
+            # hung (observed round 5: trivial matmul compiles >8 min) —
+            # the artifact must still exist, so fall back to host CPU
+            log("TPU compile service unresponsive (headline deadline hit): "
+                "falling back to host-CPU JAX; these are NOT TPU numbers")
+            _reexec_cpu_fallback("TPU compile service unresponsive "
+                                 "(device discovery healthy, headline "
+                                 "compile exceeded its deadline)")
+        value, mfu, mfu_alg = headline
     try:
         # the reference prints banners at construction; keep stdout pure JSON
         with contextlib.redirect_stdout(sys.stderr):
@@ -754,9 +765,10 @@ def main() -> None:
     if fallback:
         line["platform"] = "cpu-fallback"  # relay was wedged; not TPU numbers
         line["mfu"] = line["mfu_algorithmic"] = None  # peak const is TPU's
-        line["note"] = ("TPU relay unreachable after bounded probes; this is "
-                        "JAX-on-host-CPU vs torch-on-host-CPU, not a TPU "
-                        "number (see BENCH history for TPU runs)")
+        line["note"] = (os.environ.get("CVAD_BENCH_FALLBACK_REASON",
+                                       "TPU unreachable")
+                        + "; this is JAX-on-host-CPU vs torch-on-host-CPU, "
+                          "not a TPU number (see BENCH history for TPU runs)")
     print(json.dumps(line), flush=True)
     context = {"headline": line, "measured_at": time.time()}
     try:
@@ -838,6 +850,49 @@ def run_section_child(name: str) -> None:
     print(_RESULT_MARK + json.dumps(clean), flush=True)
 
 
+def run_headline_child() -> None:
+    """Child entry (``bench.py --headline``): the bf16 headline measurement,
+    result on stdout behind the marker."""
+    value, mfu, mfu_alg = measure_framework("bfloat16", report_mfu=True)
+    out = {"value": value,
+           "mfu": None if not np.isfinite(mfu) else mfu,
+           "mfu_alg": None if not np.isfinite(mfu_alg) else mfu_alg}
+    print(_RESULT_MARK + json.dumps(out), flush=True)
+
+
+def _run_headline_guarded(t_start: float):
+    """Run the headline in a killable subprocess.  Device discovery being
+    healthy does NOT imply the remote compile service is (round-5 failure
+    mode: probes fast, every fresh compile hung) — without a deadline here
+    the driver would get NO artifact at all.  Returns (value, mfu, mfu_alg)
+    or None on deadline/failure."""
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("CVAD_BENCH_BUDGET_S", "840"))
+    deadline = max(120.0, 0.6 * budget - (time.perf_counter() - t_start))
+    try:
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).absolute()), "--headline"],
+            capture_output=True, text=True, timeout=deadline)
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
+        return None
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+    for line in r.stdout.splitlines():
+        if line.startswith(_RESULT_MARK):
+            got = json.loads(line[len(_RESULT_MARK):])
+            return (got["value"],
+                    float("nan") if got["mfu"] is None else got["mfu"],
+                    float("nan") if got["mfu_alg"] is None
+                    else got["mfu_alg"])
+    log(f"headline child failed rc={r.returncode}: {r.stdout[-200:]}")
+    return None
+
+
 def _run_context_sweep(context: dict, t_start: float) -> None:
     """Context sections in priority order under a wall-clock budget.
 
@@ -913,5 +968,7 @@ def _write_context(path: Path, context: dict) -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         run_section_child(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--headline":
+        run_headline_child()
     else:
         main()
