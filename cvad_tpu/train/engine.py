@@ -387,12 +387,28 @@ class Trainer:
 
         outs: Dict[str, list] = {}
         nd = self.mesh.shape["data"]
-        for host_batch in loader:
-            valid = jax.tree_util.tree_leaves(host_batch)[0].shape[0]
-            padded = pad_with_valid(host_batch, nd)
-            out = self._jit_eval(self.state,
-                                 shard_batch(self.mesh, padded,
-                                             time_dim=self._time_dim))
+        # HBM clip cache for the eval split too (unordered loaders only —
+        # the cache replays dataset order, which equals iteration order
+        # exactly when shuffle is off): eval epochs then cost zero clip H2D
+        cache = (self._clip_cache(loader)
+                 if not getattr(loader, "shuffle", True) else None)
+        if cache is not None:
+            # unshuffled composition is epoch-invariant: _batch_indices
+            # gives the same per-batch sizes device_batches will use,
+            # without advancing the loader's shuffle epoch
+            counts = [len(b) for b in loader._batch_indices()]
+            feed = zip(cache.device_batches(0, 1, nd), counts)
+        else:
+            feed = ((b, jax.tree_util.tree_leaves(b)[0].shape[0])
+                    for b in loader)
+        for host_batch, valid in feed:
+            if cache is not None:
+                dev_batch = host_batch  # already gathered + padded on device
+            else:
+                padded = pad_with_valid(host_batch, nd)
+                dev_batch = shard_batch(self.mesh, padded,
+                                        time_dim=self._time_dim)
+            out = self._jit_eval(self.state, dev_batch)
             for k, v in out.items():
                 # trim DP padding rows on device; results stay device-side so
                 # the epoch needs only one host fetch at the end

@@ -145,3 +145,26 @@ def test_gather_matches_host_batches(tmp_path):
         np.testing.assert_array_equal(np.asarray(dev["labels"]),
                                       host["labels"])
         np.testing.assert_array_equal(np.asarray(dev["valid"]), host["valid"])
+
+
+def test_cached_evaluate_matches_uncached(tmp_path):
+    """evaluate() through the HBM cache (unshuffled eval loader) produces
+    bit-identical metrics/outputs to the uncached host path."""
+    mesh = create_mesh(devices=jax.devices("cpu")[:1])
+    results = {}
+    for mode in ("on", "off"):
+        cfg = _cfg(tmp_path, mode)
+        trainer = Trainer(cfg, mesh=mesh)
+        train_loader = _loader(cfg, n=16)
+        eval_ds = SyntheticClipDataset(cfg.data, n=11, split="Test")
+        eval_loader = BatchLoader(eval_ds, cfg.data.batch_size,
+                                  shuffle=False, transfer_dtype="uint8")
+        trainer.init_state(train_loader.sample_batch())
+        m = trainer.evaluate(eval_loader)
+        results[mode] = m
+        if mode == "on":
+            assert trainer._device_caches[id(eval_loader)] is not None
+    on, off = results["on"], results["off"]
+    assert set(on) == set(off)
+    for k in on:
+        np.testing.assert_array_equal(np.asarray(on[k]), np.asarray(off[k]))
