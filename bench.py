@@ -911,28 +911,20 @@ def _run_context_sweep(context: dict, t_start: float) -> None:
 
     budget = float(os.environ.get("CVAD_BENCH_BUDGET_S", "840"))
     skipped, timed_out, failed = [], [], []
-    for name, est, _ in SECTIONS:
-        elapsed = time.perf_counter() - t_start
-        remaining = budget - elapsed
-        if est > remaining:
-            skipped.append(name)
-            log(f"budget: skipping {name} ({elapsed:.0f}s elapsed + ~{est}s "
-                f"> {budget:.0f}s)")
-            continue
-        deadline = min(2 * est, remaining)
+
+    def attempt(name: str, deadline: float) -> bool:
         try:
             r = subprocess.run(
                 [sys.executable, str(Path(__file__).absolute()),
                  "--section", name],
                 capture_output=True, text=True, timeout=deadline)
         except subprocess.TimeoutExpired as e:
-            timed_out.append(name)
             if e.stderr:
                 sys.stderr.write(e.stderr if isinstance(e.stderr, str)
                                  else e.stderr.decode(errors="replace"))
             log(f"{name}: killed at its {deadline:.0f}s deadline "
                 f"(remote-compile latency tail); continuing")
-            continue
+            return False
         if r.stderr:
             sys.stderr.write(r.stderr)
         got = None
@@ -942,8 +934,31 @@ def _run_context_sweep(context: dict, t_start: float) -> None:
         if r.returncode != 0 or got is None:
             failed.append(name)
             log(f"{name} failed rc={r.returncode}: {r.stdout[-200:]}")
-            continue
+            return False
         context.update(got)
+        return True
+
+    for name, est, _ in SECTIONS:
+        elapsed = time.perf_counter() - t_start
+        remaining = budget - elapsed
+        if est > remaining:
+            skipped.append(name)
+            log(f"budget: skipping {name} ({elapsed:.0f}s elapsed + ~{est}s "
+                f"> {budget:.0f}s)")
+            continue
+        if not attempt(name, min(2 * est, remaining)) and name not in failed:
+            timed_out.append(name)
+    # retry pass: a child killed mid-compile usually leaves the REMOTE
+    # compile running to completion server-side (observed: a family-B
+    # section that died at its deadline succeeded on a later retry) — so
+    # spend whatever budget remains re-attempting timed-out sections
+    for name in list(timed_out):
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 90:
+            break
+        log(f"retrying {name} with the remaining {remaining:.0f}s budget")
+        if attempt(name, remaining):
+            timed_out.remove(name)
     context["skipped"] = skipped
     if timed_out:
         context["timed_out"] = timed_out
