@@ -236,9 +236,17 @@ class Trainer:
                     "train.device_cache='on' needs a BatchLoader-style "
                     "loader exposing epoch_index_batches")
             return None
+        import weakref
+
+        # memo keyed by id() BUT verified through a weakref: CPython reuses
+        # ids after garbage collection, so a bare id key could hand a NEW
+        # loader a stale cache built for a dead one
         key = id(loader)
-        if key in self._device_caches:
-            return self._device_caches[key]
+        entry = self._device_caches.get(key)
+        if entry is not None:
+            ref, cached = entry
+            if ref() is loader:
+                return cached
         from cvad_tpu.data.device_cache import DeviceClipCache, cache_eligible
 
         dev = self.mesh.devices.flat[0]
@@ -251,11 +259,11 @@ class Trainer:
                     "dataset, and the split to fit "
                     f"{self.cfg.train.device_cache_hbm_frac:.0%} of device "
                     "memory)")
-            self._device_caches[key] = None
+            self._device_caches[key] = (weakref.ref(loader), None)
             return None
         cache = DeviceClipCache(loader, self.mesh,
                                 time_dim=getattr(self, "_time_dim", None))
-        self._device_caches[key] = cache
+        self._device_caches[key] = (weakref.ref(loader), cache)
         self.logger.log("device_cache", clips=len(loader.dataset),
                         mbytes=round(cache.nbytes / 1e6, 1))
         return cache

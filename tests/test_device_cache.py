@@ -64,8 +64,8 @@ def test_cached_fit_bit_identical(tmp_path, steps_per_call):
         _cfg(tmp_path, "on", steps_per_call=steps_per_call), mesh)
     t_off, hist_off, p_off = _fit(
         _cfg(tmp_path, "off", steps_per_call=steps_per_call), mesh)
-    assert any(c is not None for c in t_on._device_caches.values())
-    assert all(c is None for c in t_off._device_caches.values())
+    assert any(c is not None for _, c in t_on._device_caches.values())
+    assert all(c is None for _, c in t_off._device_caches.values())
     _assert_bit_identical(p_on, p_off, hist_on, hist_off)
 
 
@@ -163,7 +163,7 @@ def test_cached_evaluate_matches_uncached(tmp_path):
         m = trainer.evaluate(eval_loader)
         results[mode] = m
         if mode == "on":
-            assert trainer._device_caches[id(eval_loader)] is not None
+            assert trainer._device_caches[id(eval_loader)][1] is not None
     on, off = results["on"], results["off"]
     assert set(on) == set(off)
     for k in on:
