@@ -64,6 +64,18 @@ def _cached_flops(key: str, compute) -> float:
     return value
 
 
+def _fingerprint(obj) -> str:
+    """Short content hash for FLOP-cache keys: the cached count is only
+    valid for the exact model/loss/optimizer configuration (and jax
+    version) that produced it — a lowering change must MISS the cache, not
+    silently reuse a stale count."""
+    import hashlib
+
+    import jax
+
+    return hashlib.md5(f"{obj}|jax{jax.__version__}".encode()).hexdigest()[:10]
+
+
 def _step_flops(trainer, batch, key: str = "") -> float:
     """XLA's own FLOP count for ONE single-step train dispatch (fwd + loss +
     bwd + optimizer) — self-auditing, not a hand-derived constant."""
@@ -75,6 +87,8 @@ def _step_flops(trainer, batch, key: str = "") -> float:
 
     if not key:
         return compute()
+    cfg = trainer.cfg
+    key = f"{key}|{_fingerprint((cfg.model, cfg.loss, cfg.optim, cfg.train.dtype))}"
     return _cached_flops(key, compute)
 
 
@@ -229,7 +243,7 @@ def measure_inference() -> float:
         # FLOPs are body x k, verified exactly equal to the flat-lowering
         # count (220.16 vs 220.17 GF/call, PARITY.md inference entry)
         flops_per_call = score.executed_flops(_cached_flops(
-            f"family_d_bulk_infer|B{BATCH}|K{k}",
+            f"family_d_bulk_infer|B{BATCH}|K{k}|{_fingerprint(model.cfg)}",
             lambda: score.fwd_many.lower(
                 variables, stacked).compile().cost_analysis()["flops"]),
             stacked.shape[0])

@@ -336,7 +336,10 @@ def _cmd_block_correlation(args) -> int:
     sample = loader.sample_batch()
     restored = None
     if args.run:
-        restored = trainer.restore(sample, step=args.step)
+        # digit strings name epoch checkpoints (step_0000000N dirs) — same
+        # conversion as cmd_eval
+        step = int(args.step) if str(args.step).isdigit() else args.step
+        restored = trainer.restore(sample, step=step)
         if restored is None:
             print(json.dumps({"error": "no checkpoint found",
                               "out_dir": cfg.train.out_dir}))

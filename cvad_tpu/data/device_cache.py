@@ -43,10 +43,15 @@ def device_bytes_limit(device=None) -> int:
     return _DEFAULT_BYTES_LIMIT
 
 
-def cache_eligible(loader, hbm_frac: float, device=None) -> bool:
+def cache_eligible(loader, hbm_frac: float, device=None,
+                   reserved_bytes: int = 0) -> bool:
     """True iff `loader`'s dataset can feed from a device-resident cache:
-    uint8 transfer path, fixed clip shape, native batch layout, and the whole
-    split fits `hbm_frac` of the device's memory."""
+    uint8 transfer path, fixed clip shape, native batch layout,
+    single-process, and the whole split PLUS `reserved_bytes` (caches the
+    caller already holds, e.g. the train split's) fits `hbm_frac` of the
+    device's memory."""
+    import jax
+
     ds = getattr(loader, "dataset", None)
     if ds is None or len(ds) == 0:
         return False
@@ -58,11 +63,16 @@ def cache_eligible(loader, hbm_frac: float, device=None) -> bool:
         return False
     if not hasattr(loader, "epoch_index_batches"):
         return False
+    if jax.process_count() > 1:
+        # multi-host: each host holds a shard-local view; a replicated
+        # device_put over non-addressable devices cannot express that —
+        # the multi-host input path stays on form_global_batch
+        return False
     try:
         clip0 = ds.get_uint8(0)[0]
     except Exception:  # noqa: BLE001 — undecodable dataset: stay uncached
         return False
-    total = len(ds) * int(np.prod(clip0.shape))
+    total = len(ds) * int(np.prod(clip0.shape)) + int(reserved_bytes)
     return total <= hbm_frac * device_bytes_limit(device)
 
 
@@ -90,8 +100,10 @@ class DeviceClipCache:
         n = len(ds)
         if hasattr(ds, "warm_frames"):
             ds.warm_frames(list(range(n)))
-        # labels come from get_uint8 (not a `labels` attribute) so shard
-        # views that translate indices (HostShardDataset) stay correct
+        # labels come from get_uint8 (not a `labels` attribute) so index-
+        # translating dataset views stay correct (multi-PROCESS host shards
+        # are gated out in cache_eligible — a replicated device_put cannot
+        # express per-host-different data)
         if num_threads > 1 and n > 1:
             from concurrent.futures import ThreadPoolExecutor
 

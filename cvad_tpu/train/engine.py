@@ -223,15 +223,24 @@ class Trainer:
                                            for x in np.asarray(total_vec)]}}
         self.ckpt.save("mid", self.state, history=payload)
 
-    def _clip_cache(self, loader):
+    def _clip_cache(self, loader, strict: Optional[bool] = None):
         """The loader's `DeviceClipCache` when the device-cache knob and
         eligibility allow one (built once per loader, reused every epoch).
         Replaces the per-epoch host->device clip stream with HBM-resident
         gathers — the structural fix for the reference's per-epoch
-        DataLoader re-transfer (``causal_anomaly_detection.py:1212-1214``)."""
+        DataLoader re-transfer (``causal_anomaly_detection.py:1212-1214``).
+
+        `strict` controls whether ineligibility under mode 'on' raises:
+        train loaders default to strict (the user demanded the cache);
+        `evaluate` passes strict=False so an oversized/ineligible EVAL
+        split falls back to the uncached path instead of killing a
+        training run at its first eval."""
         mode = self.cfg.train.device_cache
+        if strict is None:
+            strict = mode == "on"
         if mode == "off" or not hasattr(loader, "epoch_index_batches"):
-            if mode == "on" and not hasattr(loader, "epoch_index_batches"):
+            if strict and mode == "on" and not hasattr(
+                    loader, "epoch_index_batches"):
                 raise ValueError(
                     "train.device_cache='on' needs a BatchLoader-style "
                     "loader exposing epoch_index_batches")
@@ -250,15 +259,20 @@ class Trainer:
         from cvad_tpu.data.device_cache import DeviceClipCache, cache_eligible
 
         dev = self.mesh.devices.flat[0]
+        # the HBM-fraction budget covers ALL caches this trainer holds:
+        # train + eval splits built independently could otherwise claim up
+        # to 2x the fraction together
+        reserved = sum(c.nbytes for _, c in self._device_caches.values()
+                       if c is not None)
         if not cache_eligible(loader, self.cfg.train.device_cache_hbm_frac,
-                              dev):
-            if mode == "on":
+                              dev, reserved_bytes=reserved):
+            if strict and mode == "on":
                 raise ValueError(
                     "train.device_cache='on' but the loader is ineligible "
-                    "(needs transfer_dtype='uint8', a get_uint8/labels "
-                    "dataset, and the split to fit "
+                    "(needs transfer_dtype='uint8', a get_uint8 dataset, "
+                    "single-process, and the split to fit "
                     f"{self.cfg.train.device_cache_hbm_frac:.0%} of device "
-                    "memory)")
+                    "memory alongside existing caches)")
             self._device_caches[key] = (weakref.ref(loader), None)
             return None
         cache = DeviceClipCache(loader, self.mesh,
@@ -398,7 +412,7 @@ class Trainer:
         # HBM clip cache for the eval split too (unordered loaders only —
         # the cache replays dataset order, which equals iteration order
         # exactly when shuffle is off): eval epochs then cost zero clip H2D
-        cache = (self._clip_cache(loader)
+        cache = (self._clip_cache(loader, strict=False)
                  if not getattr(loader, "shuffle", True) else None)
         if cache is not None:
             # unshuffled composition is epoch-invariant: _batch_indices

@@ -111,11 +111,28 @@ def _make_data(n_train: int, n_test: int, batch_size: int, cfg,
         assert n_train % batch_size == 0, (
             "matched-noise mode needs n_train divisible by batch_size so "
             "both sides consume the same number of stream draws per epoch")
-        # the torch DataLoader's RandomSampler draws torch.randperm(n) from
-        # its generator once per epoch — replay the identical sequence
-        g = torch.Generator().manual_seed(cfg.data.seed)
-        perms = [torch.randperm(n_train, generator=g).numpy()
+        # Replay the torch DataLoader's EXACT per-epoch order by iterating
+        # an identical twin over index tensors (same generator seed, same
+        # construction).  A bare randperm replay is NOT equivalent: each
+        # DataLoader iterator creation consumes an extra _base_seed draw
+        # from the generator before the sampler's randperm (verified on
+        # torch 2.13 — orders diverge from epoch 0), so only torch itself
+        # can produce the sequence faithfully.
+        probe = DataLoader(
+            TensorDataset(torch.arange(n_train)), batch_size=batch_size,
+            shuffle=True,
+            generator=torch.Generator().manual_seed(cfg.data.seed))
+        perms = [torch.cat([b[0] for b in probe]).numpy()
                  for _ in range(epochs)]
+        # canary: twin construction must be deterministic, or the ref
+        # loader (built identically below) would see different orders
+        probe2 = DataLoader(
+            TensorDataset(torch.arange(n_train)), batch_size=batch_size,
+            shuffle=True,
+            generator=torch.Generator().manual_seed(cfg.data.seed))
+        for a in perms[:2]:
+            b = torch.cat([x[0] for x in probe2]).numpy()
+            assert (a == b).all(), "DataLoader twin not deterministic"
         srng = np.random.default_rng(cfg.data.seed + 7919)
         n_batches = n_train // batch_size
         stream = [(srng.uniform(size=batch_size) > 0.95).astype(np.float32)

@@ -168,3 +168,33 @@ def test_cached_evaluate_matches_uncached(tmp_path):
     assert set(on) == set(off)
     for k in on:
         np.testing.assert_array_equal(np.asarray(on[k]), np.asarray(off[k]))
+
+
+def test_on_mode_eval_falls_back_uncached(tmp_path):
+    """device_cache='on' demands the cache for TRAIN loaders only: an
+    ineligible eval loader (float32 transfer here) falls back to the
+    uncached path instead of killing the run at its first eval."""
+    cfg = _cfg(tmp_path, "on")
+    mesh = create_mesh(devices=jax.devices("cpu")[:1])
+    trainer = Trainer(cfg, mesh=mesh)
+    train_loader = _loader(cfg, n=16)
+    eval_ds = SyntheticClipDataset(cfg.data, n=6, split="Test")
+    eval_loader = BatchLoader(eval_ds, cfg.data.batch_size, shuffle=False,
+                              transfer_dtype="float32")  # ineligible
+    trainer.init_state(train_loader.sample_batch())
+    metrics = trainer.evaluate(eval_loader)  # must not raise
+    assert trainer._device_caches[id(eval_loader)][1] is None
+    assert "predictions" in metrics
+
+
+def test_budget_counts_reserved_bytes(tmp_path):
+    """The HBM budget covers caches already held: a second split that fits
+    alone but not alongside the first stays uncached."""
+    cfg = _cfg(tmp_path, "auto")
+    loader = _loader(cfg, n=8)
+    clip_bytes = 8 * int(np.prod(loader.dataset.get_uint8(0)[0].shape))
+    from cvad_tpu.data.device_cache import device_bytes_limit
+
+    frac = 1.5 * clip_bytes / device_bytes_limit()
+    assert cache_eligible(loader, frac)
+    assert not cache_eligible(loader, frac, reserved_bytes=clip_bytes)
