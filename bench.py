@@ -800,7 +800,25 @@ def main() -> None:
         log("cpu-fallback: skipping the TPU context sweep")
         _write_context(out_path, context)
         return
+    # sections this sweep cannot fit (budget/deadline under a degraded
+    # compile service) carry forward their most recent measured values,
+    # clearly labeled — the artifact stays complete AND honest about what
+    # was measured now vs earlier
+    prior = {}
+    try:
+        prior = json.loads(out_path.read_text())
+    except (OSError, ValueError):
+        pass
     _run_context_sweep(context, t_start)
+    carried = {k: prior[k] for k in prior
+               if k.endswith(("_cps", "_fps", "_mfu", "_err"))
+               and k not in context and prior[k] is not None}
+    if carried:
+        context["carried_forward"] = carried
+        context["carried_from_measured_at"] = prior.get("measured_at")
+        log(f"carried forward {len(carried)} metric(s) from the previous "
+            f"artifact for sections not measured this sweep: "
+            f"{sorted(carried)}")
     _write_context(out_path, context)
     # compact recap so the tail of any captured log carries every context
     # key even when earlier per-section lines scrolled out of the capture
@@ -822,7 +840,7 @@ def _tupled(keys, values):
 # section runs in its own killable child — one pathological compile can
 # delay its section, never the whole artifact.
 SECTIONS = [
-    ("inference", 120, lambda: _tupled(
+    ("inference", 150, lambda: _tupled(
         ("inference_fps", "inference_mfu"), measure_inference())),
     ("end_to_end_epoch", 240, lambda: _tupled(
         ("end_to_end_epoch_cps", "end_to_end_epoch_uncached_cps"),
